@@ -1,0 +1,199 @@
+"""Generators of unit-block placement structures.
+
+TPU-native counterpart of the reference structure generators
+(``/root/reference/aqc_research/circuit_structures.py:31-349``).  These run on
+the host (pure NumPy) — the produced ``(2, depth)`` arrays are *static*
+compile-time data for the jitted engines.
+"""
+
+from __future__ import annotations
+
+from logging import Logger
+from typing import List, Optional
+
+import numpy as np
+
+from .. import checking as chk
+from ..utils import create_logger
+
+_logger = create_logger(__file__)
+
+
+def lower_limit(num_qubits: int) -> int:
+    """Lower bound on the number of unit blocks that guarantees exact
+    compiling of an arbitrary unitary: ``ceil((4^n - 3n - 1) / 4)``.
+
+    Cf. reference circuit_structures.py:31-43 and arXiv:2106.05649.
+    """
+    return int(round(np.ceil((4**num_qubits - 3 * num_qubits - 1) / 4.0)))
+
+
+def circuit_layout_list() -> List[str]:
+    return ["spin", "line", "cyclic_spin", "cyclic_line"]
+
+
+def circuit_connectivity_list() -> List[str]:
+    return ["full", "line"]
+
+
+def create_ansatz_structure(
+    num_qubits: int,
+    layout: str = "spin",
+    connectivity: str = "full",
+    depth: int = 0,
+    block_repeat: int = 1,
+    logger: Optional[Logger] = None,
+) -> np.ndarray:
+    """Generates a ``(2, depth)`` unit-block placement array.
+
+    Cf. reference circuit_structures.py:46-130.  Row 0 holds control-qubit
+    indices, row 1 target indices.  ``depth <= 0`` selects the exact-compiling
+    lower bound (exponential!).  ``block_repeat`` in 1..3 repeats each block
+    on the same qubit pair.
+    """
+    if num_qubits < 2:
+        raise ValueError("Number of qubits must be greater or equal to 2")
+
+    if depth <= 0:
+        depth = lower_limit(num_qubits)
+        if logger:
+            logger.warning(f"choosing the maximum number of 2-qubit unit blocks: {depth}")
+
+    if not 1 <= block_repeat <= 3:
+        raise ValueError("'block_repeat' argument must be equal 1, 2 or 3")
+
+    if connectivity not in circuit_connectivity_list():
+        raise ValueError(
+            f"layout '{layout}' assumes 'line' or 'full' connectivity, got {connectivity}"
+        )
+
+    if layout == "spin":
+        blocks = _spin(num_qubits, depth)
+    elif layout == "line":
+        blocks = _line(num_qubits, depth)
+    elif layout == "cyclic_spin":
+        blocks = _cyclic_spin(num_qubits, depth)
+    elif layout == "cyclic_line":
+        blocks = _cyclic_line(num_qubits, depth)
+    else:
+        raise ValueError(
+            f"Unknown type of circuit layout, "
+            f"expects one of {circuit_layout_list()}, got {layout}"
+        )
+
+    if block_repeat > 1:
+        blocks = np.repeat(blocks, block_repeat, axis=1)
+
+    if logger:
+        logger.info(
+            f"ansatz: connectivity='{connectivity}', layout='{layout}', "
+            f"depth={depth}, unit-blocks repeat {block_repeat} times"
+        )
+    return blocks
+
+
+def make_trotter_like_circuit(
+    num_qubits: int,
+    num_layers: int,
+    *,
+    connectivity: str = "full",
+    verbose: bool = False,
+) -> np.ndarray:
+    """Trotter-like structure: spin layout with every block tripled and the
+    middle block of each triplet flipped (control <-> target).
+
+    Cf. reference circuit_structures.py:133-178.
+    """
+    if num_qubits < 2:
+        raise ValueError("number of qubits must be greater or equal to 2")
+    if connectivity not in circuit_connectivity_list():
+        raise ValueError("expects 'full' or 'line' connectivity")
+    if num_layers < 0:
+        raise ValueError("expects non-negative number of layers")
+    if num_layers == 0:
+        return np.zeros((2, 0), dtype=int)
+    if verbose:
+        _logger.info("Makes Trotter-like block structure with %d layers", num_layers)
+
+    blocks = _spin(num_qubits, num_layers * (num_qubits - 1))
+    blocks = np.repeat(blocks, 3, axis=1)
+    # Swap control/target on the 1st and 3rd block of every triplet.
+    bls = blocks.reshape((2, -1, 3))
+    tmp = bls.copy()
+    bls[0, :, [0, 2]] = tmp[1, :, [0, 2]]
+    bls[1, :, [0, 2]] = tmp[0, :, [0, 2]]
+    return bls.reshape((2, -1)).copy()
+
+
+def num_blocks_per_layer(num_qubits: int, circuit_layout: str) -> int:
+    """Blocks per layer for a layout (cf. reference circuit_structures.py:203-207)."""
+    assert chk.is_int(num_qubits, num_qubits >= 2)
+    assert circuit_layout in circuit_layout_list()
+    return num_qubits if circuit_layout.startswith("cyclic_") else (num_qubits - 1)
+
+
+def fraction_of_lower_bound(
+    depth_fraction: float, num_qubits: int, circuit_layout: str
+) -> int:
+    """Number of layers at a fraction of the exact-compiling lower bound
+    (cf. reference circuit_structures.py:210-251)."""
+    assert chk.is_float(depth_fraction)
+    if circuit_layout not in circuit_layout_list():
+        raise ValueError(f"'circuit_layout' must be one of {circuit_layout_list()}")
+    if not 0 < depth_fraction <= 1:
+        raise ValueError("expects: 0 < depth_fraction <= 1")
+    bpl = num_blocks_per_layer(num_qubits, circuit_layout)
+    circuit_depth = int(round(depth_fraction * lower_limit(num_qubits)))
+    return int(max(1, (circuit_depth + bpl - 1) // bpl))
+
+
+# -----------------------------------------------------------------------------
+# Layout kernels (cf. reference circuit_structures.py:263-349).
+# -----------------------------------------------------------------------------
+
+
+def _spin(num_qubits: int, depth: int) -> np.ndarray:
+    """Chessboard brick pattern: even pairs then odd pairs, repeating."""
+    blocks = np.zeros((2, depth), dtype=int)
+    k = 0
+    while True:
+        for shift in range(2):
+            for i in range(shift, num_qubits - 1, 2):
+                blocks[0, k] = i
+                blocks[1, k] = i + 1
+                k += 1
+                if k >= depth:
+                    return blocks
+
+
+def _line(num_qubits: int, depth: int) -> np.ndarray:
+    """Linear sweep skipping the (first, last) wrap-around connection."""
+    blocks = np.zeros((2, depth), dtype=int)
+    pos = 0
+    for i in range(depth):
+        if pos % num_qubits == num_qubits - 1:
+            pos += 1  # skip connecting the first and last qubits
+        blocks[0, i] = pos % num_qubits
+        blocks[1, i] = (pos + 1) % num_qubits
+        pos += 1
+    return blocks
+
+
+def _cyclic_spin(num_qubits: int, depth: int) -> np.ndarray:
+    """Spin-like pattern with the (first, last) pair also connected."""
+    blocks = np.zeros((2, depth), dtype=int)
+    n_even = num_qubits % 2 == 0
+    for i in range(depth):
+        offset = (i // (num_qubits // 2)) % 2 if n_even else 0
+        blocks[0, i] = (2 * i + offset) % num_qubits
+        blocks[1, i] = (2 * i + offset + 1) % num_qubits
+    return blocks
+
+
+def _cyclic_line(num_qubits: int, depth: int) -> np.ndarray:
+    """Linear sweep including the (first, last) wrap-around connection."""
+    blocks = np.zeros((2, depth), dtype=int)
+    for i in range(depth):
+        blocks[0, i] = i % num_qubits
+        blocks[1, i] = (i + 1) % num_qubits
+    return blocks

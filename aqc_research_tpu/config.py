@@ -1,0 +1,59 @@
+"""Global precision / platform policy for the TPU-native AQC framework.
+
+Two precision modes:
+
+* ``"high"``  — float64 / complex128.  Used by parity and gradient tests
+  (reference parity target is <= 1e-10, see BASELINE.md).  On TPU f64 is
+  emulated and slow; tests therefore force the CPU backend (tests/conftest.py).
+* ``"fast"``  — float32 / complex64.  The production / benchmark mode on TPU:
+  all hot kernels (statevector applies, MPS contractions + truncated SVD,
+  co-sweep gradients) run in c64 so matmuls tile onto the MXU.
+
+The mode is process-global (it decides the dtype of newly created arrays);
+functions also accept explicit dtypes where that matters.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+# Enable x64 support so "high" mode is available at all.  This does NOT force
+# f64 everywhere: dtypes are taken from `real_dtype()` / `complex_dtype()`.
+jax.config.update("jax_enable_x64", True)
+
+_PRECISION = os.environ.get("AQC_TPU_PRECISION", "high")
+
+
+def set_precision(mode: str) -> None:
+    """Sets the global precision mode: ``"high"`` (f64/c128) or ``"fast"`` (f32/c64)."""
+    global _PRECISION
+    if mode not in ("high", "fast"):
+        raise ValueError(f"unknown precision mode: {mode!r}")
+    _PRECISION = mode
+
+
+def precision() -> str:
+    """Returns the current global precision mode."""
+    return _PRECISION
+
+
+def real_dtype():
+    """Returns the real dtype of the current precision mode."""
+    return jnp.float64 if _PRECISION == "high" else jnp.float32
+
+
+def complex_dtype():
+    """Returns the complex dtype of the current precision mode."""
+    return jnp.complex128 if _PRECISION == "high" else jnp.complex64
+
+
+def is_tpu() -> bool:
+    """True when the default JAX backend is a TPU-like accelerator."""
+    try:
+        platform = jax.default_backend()
+    except RuntimeError:
+        return False
+    return platform not in ("cpu", "gpu")
