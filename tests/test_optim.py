@@ -1,0 +1,109 @@
+"""Tests of the jitted L-BFGS/Adam loops and stopper semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aqc_research_tpu.optim import (
+    AqcOptimizer,
+    EarlyStopper,
+    GradientAmplifier,
+    NotImproveStopper,
+    SmallObjectiveStopper,
+    StagnantOptimizationWarning,
+    minimize_adam,
+    minimize_lbfgs,
+)
+
+
+def _rosenbrock(x):
+    return jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+class TestJitLbfgs:
+    def test_rosenbrock(self):
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        res = minimize_lbfgs(_rosenbrock, x0, maxiter=200)
+        assert float(res.fobj) < 1e-10
+        assert np.allclose(np.asarray(res.thetas), 1.0, atol=1e-4)
+
+    def test_fobj_threshold_stop(self):
+        x0 = jnp.zeros(4, dtype=jnp.float64)
+        res = minimize_lbfgs(_rosenbrock, x0, maxiter=500, fobj_thr=1e-3)
+        assert bool(res.converged)
+        assert float(res.fobj) < 1e-3
+        assert int(res.num_iters) < 500
+
+    def test_adam(self):
+        x0 = jnp.full(3, 2.0, dtype=jnp.float64)
+        res = minimize_adam(lambda x: jnp.sum(x**2), x0, maxiter=500, learn_rate=0.1)
+        assert float(res.fobj) < 1e-3
+
+
+class _QuadraticObjective:
+    """Minimal objective-class contract (objective/gradient/set_status_trackers)."""
+
+    def __init__(self):
+        self.ncalls = 0
+
+    def objective(self, th):
+        self.ncalls += 1
+        return float(np.sum((th - 1.5) ** 2))
+
+    def gradient(self, th):
+        return 2.0 * (np.asarray(th) - 1.5)
+
+    def set_status_trackers(self, timeout=None, stopper=None):
+        pass
+
+
+class TestAqcOptimizer:
+    @pytest.mark.parametrize("name", ["lbfgs", "adam", "cobyla", "bobyqa"])
+    def test_backends(self, name):
+        objv = _QuadraticObjective()
+        opt = AqcOptimizer(optimizer_name=name, maxiter=200, learn_rate=0.2)
+        from aqc_research_tpu.circuit.ansatz import Ansatz
+        circ = Ansatz.make(2, "cx", np.array([[0], [1]]))
+        x0 = np.zeros(circ.num_thetas)
+        result = opt.optimize(objv, circ, x0)
+        assert result["cost"] < 1e-2
+        assert result["thetas"].shape == x0.shape
+        assert result["is_timeout"] is False
+
+
+class TestStoppers:
+    def test_small_objective_stopper(self):
+        s = SmallObjectiveStopper(fobj_thr=0.1)
+        s.check(0.5)
+        with pytest.raises(StopIteration):
+            s.check(0.01)
+
+    def test_not_improve_stopper(self):
+        s = NotImproveStopper(num_iters=3)
+        s.check(1.0, 0)
+        with pytest.raises(StagnantOptimizationWarning):
+            for i in range(1, 10):
+                s.check(1.0, i)
+        s.reset()
+        s.check(0.5, 0)  # no raise after reset
+
+    def test_early_stopper_fidelity(self):
+        s = EarlyStopper(fidelity_thr=0.99)
+        captured = {}
+
+        def on_stop(fobj, thetas):
+            captured["fobj"] = fobj
+            return {"cost": fobj, "thetas": thetas}
+
+        s.check(0.5, 0.5, np.zeros(3), 0, on_stop)
+        with pytest.raises(StopIteration):
+            s.check(0.4, 0.995, np.zeros(3), 1, on_stop)
+        assert captured["fobj"] == 0.4
+        assert s.optim_results["cost"] == 0.4
+
+    def test_gradient_amplifier(self):
+        g = GradientAmplifier(history=3)
+        # Constant fobj (plateau) -> amplification > 1 once history is full.
+        scales = [g.estimate(0.5) for _ in range(10)]
+        assert scales[0] == 1.0
+        assert scales[-1] > 1.0
