@@ -1,0 +1,254 @@
+"""Sketching-model utilities: accuracy metrics, persistence, ansatz/target
+factories, CLI arguments.
+
+TPU-native counterpart of the reference sk_utils
+(``/root/reference/aqc_research/model_sketching/sk_utils.py:38-418``).  The
+randomized-SVD accuracy metric uses SciPy's sparse SVD (top singular values)
+instead of scikit-learn.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from argparse import ArgumentParser
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ... import checking as chk
+from ...circuit.ansatz import Ansatz
+from ...circuit.export import ansatz_to_program
+from ...circuit.structures import create_ansatz_structure, num_blocks_per_layer
+from ...ops.statevector import ansatz_to_matrix
+from ...targets import generator as targen
+from ...utils import create_logger, logi, num_cpus
+
+_logger = create_logger(__file__)
+
+
+def top_singular_values(mat: np.ndarray, k: int = 10) -> np.ndarray:
+    """Largest ``k`` singular values via randomized SVD (SciPy)."""
+    from scipy.sparse.linalg import svds
+
+    k = min(k, min(mat.shape) - 1)
+    if k < 1:
+        return np.linalg.svd(mat, compute_uv=False)
+    try:
+        s = svds(mat, k=k, return_singular_vectors=False)
+        return np.sort(s)[::-1]
+    except Exception:  # small/degenerate cases — fall back to dense SVD
+        return np.linalg.svd(mat, compute_uv=False)[:k]
+
+
+def _approximation_accuracy(
+    target: np.ndarray, circ_matrix: np.ndarray, logger: logging.Logger
+) -> dict:
+    """HS-cost, fidelity, top singular values of (V - U), Frobenius
+    (cf. reference _approximation_accuracy, sk_utils.py:38-80)."""
+    tic = time.perf_counter()
+    logi(logger, "computing approximation accuracy ...")
+
+    dim = target.shape[0]
+    hsp = np.vdot(circ_matrix, target)  # Tr(V† U)
+    hs_cost = 1.0 - np.abs(hsp) / dim
+    fidelity_ = (1.0 + np.abs(hsp) ** 2 / dim) / (dim + 1)
+    diff = circ_matrix - target
+    diag = top_singular_values(diff, 10)
+    max_sing = float(np.amax(diag))
+    frob = (np.linalg.norm(diff, "fro") ** 2) / (2 * dim)
+
+    logi(logger, f"done in {time.perf_counter() - tic:0.4f} seconds")
+    logi(logger, f"HS-cost = 1 - |<V,U>|/dim: {hs_cost:0.8f}")
+    logi(logger, f"Fidelity: {fidelity_:0.8f}")
+    logi(logger, f"Max. singular value of (V - U): {max_sing:0.8f}")
+    logi(logger, f"Frobenius: (|V - U|^2_F)/(2*dim): {frob:0.8f}")
+
+    return {
+        "hs_cost": hs_cost,
+        "fidelity": fidelity_,
+        "max_singular": max_sing,
+        "frobenius": frob,
+    }
+
+
+def _circuit_from_best_result(
+    num_qubits: int,
+    best_result: dict,
+    target: np.ndarray,
+    su_target: np.ndarray,
+    logger: logging.Logger,
+):
+    """Rebuilds ansatz + gate program + matrix from the best result and
+    recovers the global phase that maps SU back to U
+    (cf. reference _circuit_from_best_result, sk_utils.py:83-129)."""
+    circ = Ansatz.make(
+        num_qubits, best_result["entangler"], np.asarray(best_result["blocks"])
+    )
+    thetas = np.asarray(best_result["thetas"])
+    program = ansatz_to_program(circ, thetas)
+    circ_matrix = np.asarray(ansatz_to_matrix(circ, thetas))
+
+    global_phase = 0.0
+    tol = float(np.sqrt(np.finfo(np.float64).eps))
+    if not np.allclose(target, su_target, atol=tol, rtol=tol):
+        global_phase = float(np.angle(np.vdot(circ_matrix, target)))
+        circ_matrix = circ_matrix * np.exp(1j * global_phase)
+        logi(logger, f"global phase factor (angle): {global_phase:0.6f}")
+
+    return program, circ, circ_matrix, global_phase
+
+
+def fidelity(circuit_mat: np.ndarray, target_mat: np.ndarray) -> float:
+    """``(1 + |Tr(V† U)|^2 / 2^n) / (2^n + 1)`` — average gate fidelity
+    (cf. reference fidelity, sk_utils.py:132-141)."""
+    assert chk.complex_2d_square(circuit_mat) and chk.complex_2d_square(target_mat)
+    assert circuit_mat.shape == target_mat.shape
+    dim = circuit_mat.shape[0]
+    return float(
+        (1 + np.abs(np.vdot(circuit_mat, target_mat)) ** 2 / dim) / (dim + 1)
+    )
+
+
+def postprocess_and_save_results(
+    *,
+    num_qubits: int,
+    results: List[Dict],
+    target_mat: np.ndarray,
+    su_target: np.ndarray,
+    output_dir: str,
+    logger: logging.Logger,
+) -> dict:
+    """Sorts results, rebuilds the best circuit, computes accuracy metrics and
+    pickles everything (cf. reference sk_utils.py:144-217)."""
+    import pandas as pd
+
+    results.sort(key=lambda x: x["cost"])
+    columns = ["cost", "fidelity", "nit", "time", "exit_status", "status"]
+    if results[0].get("fidelity", None) is None:
+        columns.pop(1)
+    summary = pd.DataFrame(results, columns=columns)
+    pd.set_option("display.max_rows", None)
+    logi(logger, f"\n{'-' * 24}\nSorted valid results:\n{summary}\n")
+
+    best_result = results[0]
+    program, circ, circ_matrix, global_phase = _circuit_from_best_result(
+        num_qubits, best_result, target_mat, su_target, logger
+    )
+    acc_metrics = _approximation_accuracy(target_mat, circ_matrix, logger)
+
+    payload = {
+        "sorted_results": results,
+        "best_result": {
+            "program": program,
+            "ansatz": circ,
+            "thetas": best_result["thetas"],
+            "global_phase": global_phase,
+            "accuracy_metrics": acc_metrics,
+        },
+        "target_matrix": target_mat,
+    }
+    with open(os.path.join(output_dir, "simulation_results.pkl"), "wb") as fld:
+        pickle.dump(payload, fld, protocol=4)
+    with open(os.path.join(output_dir, "qcircuit.pkl"), "wb") as fld:
+        pickle.dump({"program": program, "global_phase": global_phase}, fld, protocol=4)
+    logi(logger, f"simulation results have been stored in the folder: {output_dir}")
+    return payload
+
+
+def create_ansatz(
+    *,
+    num_qubits: int,
+    num_layers: int,
+    circuit_layout: str,
+    connectivity: str = "full",
+    block_repeat: int = 1,
+    entangler: str = "cx",
+    logger: Optional[logging.Logger] = None,
+) -> Ansatz:
+    """Regular layered ansatz factory (cf. reference create_ansatz,
+    sk_utils.py:220-284)."""
+    assert chk.is_int(num_qubits, num_qubits >= 2)
+    if not num_layers >= 1:
+        raise ValueError("expects: num_layers >= 1")
+    bpl = num_blocks_per_layer(num_qubits, circuit_layout)
+    blocks = create_ansatz_structure(
+        num_qubits=num_qubits,
+        layout=circuit_layout,
+        connectivity=connectivity,
+        depth=int(max(1, num_layers)) * bpl,
+        block_repeat=block_repeat,
+        logger=logger,
+    )
+    circ = Ansatz.make(num_qubits, entangler, blocks)
+    if logger:
+        logi(
+            logger,
+            f"ansatz layout: {circuit_layout}, depth = {circ.num_blocks}, "
+            f"number of parameters: {circ.num_thetas}",
+        )
+    return circ
+
+
+def create_target_matrix(
+    *,
+    num_qubits: int,
+    target_name_or_func: Union[str, Callable[[int], np.ndarray]],
+    num_layers: int,
+    circuit_layout: str,
+    logger: logging.Logger,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Creates (target, SU target) from a name / 'parametric' / user callable
+    (cf. reference create_target_matrix, sk_utils.py:286-353)."""
+    assert chk.is_int(num_qubits, num_qubits >= 2)
+    if callable(target_name_or_func):
+        logi(logger, "target: user-supplied generator")
+        target_mat = target_name_or_func(num_qubits)
+    elif target_name_or_func == "parametric":
+        logi(logger, f"target: {target_name_or_func}")
+        circ = create_ansatz(
+            num_qubits=num_qubits,
+            num_layers=num_layers,
+            circuit_layout=circuit_layout,
+            logger=logger,
+        )
+        target_thetas = np.random.uniform(0, 2 * np.pi, circ.num_thetas)
+        target_mat = np.asarray(ansatz_to_matrix(circ, target_thetas))
+    else:
+        logi(logger, f"target: {target_name_or_func}")
+        target_mat = targen.make_target_matrix(target_name_or_func, num_qubits)
+
+    su_target = targen.make_su_matrix(target_mat)
+    return target_mat, su_target
+
+
+def supported_layouts() -> List[str]:
+    return ["spin", "line", "cyclic_spin", "cyclic_line"]
+
+
+def get_commandline_args(parser: ArgumentParser, logger: logging.Logger) -> Any:
+    """CLI arguments of the sketching drivers (cf. sk_utils.py:358-418)."""
+    assert isinstance(parser, ArgumentParser)
+    ncpus = num_cpus()
+    targ_types = targen.available_target_matrix_types() + ["parametric"]
+    parser.add_argument("-n", "--num_qubits", default=5, type=int, metavar="",
+                        help="number of qubits")
+    parser.add_argument("-t", "--target", default="parametric", type=str, metavar="",
+                        help=f"target name, one of: {targ_types}")
+    parser.add_argument("-s", "--num_simuls", default=ncpus, type=int, metavar="",
+                        help="total number of simulations with different initial guesses")
+    parser.add_argument("-j", "--num_jobs", default=ncpus, type=int, metavar="",
+                        help="number of parallel jobs executed simultaneously")
+    parser.add_argument("-o", "--timeout", default=-1, type=int, metavar="",
+                        help="timeout in seconds; non-positive implies no timeout")
+    parser.add_argument("-g", "--tag", default="", type=str, metavar="",
+                        help="tag that makes simulation results distinguishable")
+    cargs = parser.parse_args()
+    assert 2 <= cargs.num_qubits <= 16
+    assert cargs.target in targ_types
+    assert 1 <= cargs.num_simuls <= 100 * ncpus
+    cargs.num_jobs = min(cargs.num_jobs, cargs.num_simuls)
+    logi(logger, f"Command-line arguments: {cargs.__dict__}")
+    return cargs

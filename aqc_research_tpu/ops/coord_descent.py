@@ -1,0 +1,150 @@
+"""Coordinate-descent sweep for the full-AQC objective.
+
+TPU-native counterpart of the reference Newton/GD coordinate descent
+(``/root/reference/aqc_research/core_op_matrix.py:765-917``): one sweep walks
+through all angles in circuit order, carrying ``w = V_new_prefix @ I`` and
+``z = V_old_suffix† @ U``; for each angle it computes the first/second
+derivative of ``fobj = 1 - |<V,U>|^2 / dim^2`` from two inner products, takes
+a Newton step when f'' > tol (else clipped gradient descent), applies the
+*old*-angle gate to ``z`` and the *new*-angle gate to ``w``.
+
+The whole sweep — including all Θ updates — is ONE jitted XLA program with
+``lax.scan`` over the periodic block structure; Θ is part of the carry, so
+repeated sweeps run back-to-back on device with no host round trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit import gates as G
+from ..circuit.ansatz import Ansatz
+from .statevector import apply_1q, apply_2q, pauli_dot, structure_period, v_dagger_mul_mat
+
+_LEARN_RATE = np.pi / 16
+_MAX_DELTA_THETA = np.pi / 4
+
+
+def _delta_theta(prod, grad, dim, tol):
+    """Newton / clipped-GD angle increment (cf. core_op_matrix.py:829-850)."""
+    derv1 = (-2.0 * jnp.real(jnp.conj(prod) * grad)) / (dim**2)
+    derv2 = (-2.0 * jnp.abs(grad) ** 2 + 0.5 * jnp.abs(prod) ** 2) / (dim**2)
+    gd_step = -_LEARN_RATE * derv1 / jnp.maximum(jnp.abs(derv1), 1.0)
+    newton_step = -derv1 / jnp.where(derv2 < tol, 1.0, derv2)
+    dt = jnp.where(derv2 < tol, gd_step, newton_step)
+    abs_dt = jnp.abs(dt / _MAX_DELTA_THETA)
+    return jnp.where(abs_dt <= 1, dt, dt / abs_dt)
+
+
+def _update_angle(w, z, theta, gate_fn, pauli, qubit, tail, dim, tol):
+    """One coordinate update: dot, old-angle gate on z, step, new gate on w."""
+    dtype = w.dtype
+    grad = pauli_dot(w, z, pauli, qubit, tail)
+    prod = jnp.vdot(w, z)
+    z = apply_1q(z, gate_fn(theta, dtype), qubit, tail)
+    theta = theta + _delta_theta(prod, grad, dim, tol)
+    w = apply_1q(w, gate_fn(theta, dtype), qubit, tail)
+    return w, z, theta
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _coord_descent_sweep(circ: Ansatz, thetas: jax.Array, target: jax.Array):
+    """One full sweep; returns (new_thetas, fobj)."""
+    if circ.entangler == "cp":
+        raise NotImplementedError("CPhase entangler is not supported yet")
+    dtype = target.dtype
+    dim = circ.dimension
+    tail = dim
+    tol = float(np.sqrt(np.finfo(np.float64).eps))
+    rs_fn = G.rx if circ.entangler == "cx" else G.rz
+    s_char = "x" if circ.entangler == "cx" else "z"
+    ent = (
+        G.controlled(G.x(dtype), dtype)
+        if circ.entangler == "cx"
+        else G.controlled(G.z(dtype), dtype)
+    )
+
+    w = jnp.eye(dim, dtype=dtype)
+    z = v_dagger_mul_mat(circ, thetas, target)
+
+    thetas1q = circ.subset1q(thetas)
+    thetas2q = circ.subset2q(thetas)
+
+    # Front layer of Rz·Ry·Rz (update order t2, t1, t0 is NOT what the
+    # reference uses — it updates t[2] first via z-dot, then t[1], t[0];
+    # cf. core_op_matrix.py:852-872 — same order here).
+    new1q = []
+    for q in range(circ.num_qubits):
+        t = thetas1q[q]
+        w, z, t2 = _update_angle(w, z, t[2], G.rz, "z", q, tail, dim, tol)
+        w, z, t1 = _update_angle(w, z, t[1], G.ry, "y", q, tail, dim, tol)
+        w, z, t0 = _update_angle(w, z, t[0], G.rz, "z", q, tail, dim, tol)
+        new1q.append(jnp.stack([t0, t1, t2]))
+    new1q = jnp.stack(new1q)
+
+    pattern = [
+        (int(circ.blocks[0, k]), int(circ.blocks[1, k])) for k in range(circ.num_blocks)
+    ]
+
+    def block_step(w, z, tht, k):
+        c, tg = pattern[k]
+        z = apply_2q(z, ent, c, tg, tail)
+        w = apply_2q(w, ent, c, tg, tail)
+        w, z, t0 = _update_angle(w, z, tht[0], G.ry, "y", c, tail, dim, tol)
+        w, z, t1 = _update_angle(w, z, tht[1], G.rz, "z", c, tail, dim, tol)
+        w, z, t2 = _update_angle(w, z, tht[2], G.ry, "y", tg, tail, dim, tol)
+        w, z, t3 = _update_angle(w, z, tht[3], rs_fn, s_char, tg, tail, dim, tol)
+        return w, z, jnp.stack([t0, t1, t2, t3])
+
+    nb = circ.num_blocks
+    p = structure_period(circ) if nb else 0
+    new2q_chunks = []
+    done = 0
+    if nb:
+        reps = nb // p if p else 0
+        if p and reps >= 2:
+            th_chunks = thetas2q[: reps * p].reshape(reps, p, circ.tpb)
+
+            def body(carry, th_chunk):
+                w_, z_ = carry
+                outs = []
+                for k in range(p):
+                    w_, z_, t_new = block_step(w_, z_, th_chunk[k], k)
+                    outs.append(t_new)
+                return (w_, z_), jnp.stack(outs)
+
+            (w, z), scanned = jax.lax.scan(body, (w, z), th_chunks)
+            new2q_chunks.append(scanned.reshape(reps * p, circ.tpb))
+            done = reps * p
+        rem = []
+        for k in range(done, nb):
+            w, z, t_new = block_step(w, z, thetas2q[k], k)
+            rem.append(t_new)
+        if rem:
+            new2q_chunks.append(jnp.stack(rem))
+
+    new2q = (
+        jnp.concatenate(new2q_chunks, axis=0)
+        if new2q_chunks
+        else jnp.zeros((0, circ.tpb), thetas.dtype)
+    )
+    new_thetas = jnp.concatenate([new1q.reshape(-1), new2q.reshape(-1)])
+    fobj = 1.0 - jnp.abs(jnp.vdot(w, z) / dim) ** 2
+    return new_thetas.astype(thetas.dtype), jnp.real(fobj)
+
+
+def coord_descent_single_sweep(
+    circ: Ansatz, thetas, target
+) -> Tuple[jax.Array, jax.Array]:
+    """One coordinate-descent sweep over all angles.
+
+    Functional twin of reference ``coord_descent_single_sweep``
+    (core_op_matrix.py:765-917): returns ``(new_thetas, fobj)`` instead of
+    mutating Θ in place.
+    """
+    return _coord_descent_sweep(circ, jnp.asarray(thetas), jnp.asarray(target))

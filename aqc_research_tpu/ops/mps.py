@@ -1,0 +1,432 @@
+"""Matrix-product-state engine (pure JAX, static shapes, jit/scan-friendly).
+
+This module replaces the reference's single biggest native dependency — the
+Qiskit Aer C++ MPS simulator that the reference calls through circuit
+re-simulation for every gate (``/root/reference/aqc_research/
+mps_operations.py:216-371`` and ``mps_dot_objective.py:245-516``).  Here every
+MPS operation is an on-device tensor contraction:
+
+* Vidal canonical form ``c_{s1..sn} = Γ_1^{s1} λ_1 Γ_2^{s2} λ_2 ... Γ_n^{sn}``
+  — the same (Γ, λ) structure Qiskit Aer emits (mps_operations.py:33), so
+  concepts map 1:1.
+* **Static shapes**: all bond dimensions are padded to a fixed ``chi_max``;
+  truncation keeps shapes constant by masking singular values, so the whole
+  engine jits and scans (no dynamic-shape recompilation, XLA-friendly).
+* A two-qubit gate costs one pair contraction + one ``(2 chi, 2 chi)`` SVD +
+  rank-chi re-split — O(chi^3) on the MXU, versus the reference's full
+  circuit re-simulation per gate.
+* Truncation semantics: after each two-qubit gate, discard the smallest
+  singular values whose cumulative tail norm is ``<= trunc_thr * ||S||`` and
+  cap the rank at ``chi_max``; kept values are rescaled to preserve the state
+  norm.  ``no_truncation_threshold() = 1e-16`` mirrors the reference default
+  (mps_operations.py:30).
+
+Sites are qubits in little-endian order (site j = bit j), matching the rest
+of the framework and Qiskit's convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.program import GateProgram, gate_matrix
+from ..config import complex_dtype
+
+_NO_TRUNCATION_THR = 1e-16
+
+
+def no_truncation_threshold() -> float:
+    """Threshold value that effectively disables truncation."""
+    return _NO_TRUNCATION_THR
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MPS:
+    """Vidal-form MPS with padded, static bond dimensions.
+
+    Attributes:
+        gammas: (n, 2, chi, chi) complex — Γ tensors; unused bond rows/cols
+            are zero.  Γ_1 uses left bond 0 only; Γ_n uses right bond 0 only.
+        lambdas: (n-1, chi) real — bond singular values, descending, padded
+            with zeros.
+    """
+
+    gammas: jax.Array
+    lambdas: jax.Array
+
+    @property
+    def num_sites(self) -> int:
+        return self.gammas.shape[0]
+
+    @property
+    def chi(self) -> int:
+        return self.gammas.shape[-1]
+
+    def tree_flatten(self):
+        return (self.gammas, self.lambdas), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def mps_zero(num_qubits: int, chi_max: int, dtype=None) -> MPS:
+    """|0...0> as an MPS with bond dimension padded to ``chi_max``."""
+    dtype = complex_dtype() if dtype is None else dtype
+    gammas = jnp.zeros((num_qubits, 2, chi_max, chi_max), dtype)
+    gammas = gammas.at[:, 0, 0, 0].set(1.0)
+    lambdas = jnp.zeros((max(num_qubits - 1, 0), chi_max), jnp.real(gammas).dtype)
+    lambdas = lambdas.at[:, 0].set(1.0)
+    return MPS(gammas, lambdas)
+
+
+def check_mps(mps: MPS) -> bool:
+    """Structural validation (cf. reference check_mps, mps_operations.py:87-123):
+    shapes consistent, lambdas non-negative and descending."""
+    if not isinstance(mps, MPS):
+        return False
+    n, chi = mps.num_sites, mps.chi
+    if mps.gammas.shape != (n, 2, chi, chi):
+        return False
+    if mps.lambdas.shape != (max(n - 1, 0), chi):
+        return False
+    lam = np.asarray(mps.lambdas)
+    if np.any(lam < -1e-12):
+        return False
+    if np.any(lam[:, :-1] < lam[:, 1:] - 1e-9):
+        return False  # expects descending order
+    return True
+
+
+# -----------------------------------------------------------------------------
+# Gate application.
+# -----------------------------------------------------------------------------
+
+
+def apply_1q_mps(mps: MPS, gate2x2: jax.Array, site: int) -> MPS:
+    """1-qubit gate: Γ_site <- G Γ_site (bond dimensions unchanged)."""
+    g = jnp.asarray(gate2x2, mps.gammas.dtype)
+    new_gamma = jnp.einsum("ij,jab->iab", g, mps.gammas[site])
+    return MPS(mps.gammas.at[site].set(new_gamma), mps.lambdas)
+
+
+def _safe_inv(lam: jax.Array, cutoff: float = 1e-12) -> jax.Array:
+    scale = jnp.max(lam)
+    thr = cutoff * jnp.maximum(scale, 1e-300)
+    return jnp.where(lam > thr, 1.0 / jnp.where(lam > thr, lam, 1.0), 0.0)
+
+
+def _truncation_mask(s: jax.Array, chi: int, trunc_thr: float):
+    """Keep mask for singular values: discard the largest tail whose norm is
+    <= trunc_thr * ||S||, and cap the rank at chi."""
+    s2 = s * s
+    total = jnp.sqrt(jnp.sum(s2))
+    # tail_norm[i] = sqrt(sum_{j >= i} s_j^2)
+    tail = jnp.sqrt(jnp.cumsum(s2[::-1])[::-1])
+    keep = tail > (trunc_thr * total)
+    idx = jnp.arange(s.shape[0])
+    return jnp.logical_and(keep, idx < chi), total
+
+
+def apply_2q_mps(
+    mps: MPS,
+    gate4: jax.Array,
+    site: int,
+    *,
+    trunc_thr: float = _NO_TRUNCATION_THR,
+) -> MPS:
+    """2-qubit gate on adjacent (site, site+1); ``gate4`` is 4x4 in
+    (site, site+1) index order.
+
+    Standard Vidal/TEBD update: contract λΓλΓλ into the pair tensor, apply the
+    gate, SVD, truncate by the discarded-weight rule, re-split with safe
+    λ-inverses.  One O(chi^3) kernel — the operation the reference delegates
+    to Aer's C++ (mps_operations.py:251-257) per full-circuit re-simulation.
+    """
+    n, chi = mps.num_sites, mps.chi
+    assert 0 <= site < n - 1
+    dtype = mps.gammas.dtype
+    rdtype = mps.lambdas.dtype
+
+    lam_l = mps.lambdas[site - 1] if site > 0 else jnp.zeros(chi, rdtype).at[0].set(1.0)
+    lam_c = mps.lambdas[site]
+    lam_r = (
+        mps.lambdas[site + 1]
+        if site + 2 < n
+        else jnp.zeros(chi, rdtype).at[0].set(1.0)
+    )
+
+    g1 = mps.gammas[site]  # (2, chi, chi)
+    g2 = mps.gammas[site + 1]
+
+    # theta[s1, s2, a, c] = lam_l[a] g1[s1,a,b] lam_c[b] g2[s2,b,c] lam_r[c]
+    t1 = g1 * lam_l[None, :, None].astype(dtype)
+    t1 = t1 * lam_c[None, None, :].astype(dtype)
+    theta = jnp.einsum("sab,tbc->stac", t1, g2)
+    theta = theta * lam_r[None, None, None, :].astype(dtype)
+
+    # Apply the gate on the physical indices.
+    g = jnp.asarray(gate4, dtype).reshape(2, 2, 2, 2)
+    theta = jnp.einsum("stuv,uvac->stac", g, theta)
+
+    # SVD of the (2 chi, 2 chi) matrix M[(s1 a), (s2 c)].
+    m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(2 * chi, 2 * chi)
+    u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+
+    mask, total = _truncation_mask(s, chi, trunc_thr)
+    s_kept = jnp.where(mask, s, 0.0)
+    kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept))
+    # Preserve the state norm under truncation.
+    s_kept = s_kept * (total / jnp.maximum(kept_norm, 1e-300))
+    new_lam = s_kept[:chi].astype(rdtype)
+
+    u = jnp.where(mask[None, :], u, 0.0)[:, :chi]  # (2 chi, chi)
+    vh = jnp.where(mask[:, None], vh, 0.0)[:chi, :]  # (chi, 2 chi)
+
+    inv_l = _safe_inv(lam_l).astype(dtype)
+    inv_r = _safe_inv(lam_r).astype(dtype)
+    new_g1 = u.reshape(2, chi, chi) * inv_l[None, :, None]
+    new_g2 = jnp.transpose(vh.reshape(chi, 2, chi), (1, 0, 2)) * inv_r[None, None, :]
+
+    gammas = mps.gammas.at[site].set(new_g1).at[site + 1].set(new_g2)
+    lambdas = mps.lambdas.at[site].set(new_lam) if n > 1 else mps.lambdas
+    return MPS(gammas, lambdas)
+
+
+def _swap_gate(dtype):
+    sw = jnp.zeros((4, 4), dtype)
+    return sw.at[0, 0].set(1).at[3, 3].set(1).at[1, 2].set(1).at[2, 1].set(1)
+
+
+def apply_gate_mps(
+    mps: MPS,
+    gate,
+    *,
+    trunc_thr: float = _NO_TRUNCATION_THR,
+) -> MPS:
+    """Applies one :class:`Gate` record; non-adjacent 2-qubit gates are routed
+    through a swap network (swap up, apply, swap back)."""
+    mat = gate_matrix(gate, mps.gammas.dtype)
+    if len(gate.qubits) == 1:
+        return apply_1q_mps(mps, mat, gate.qubits[0])
+
+    ctrl, targ = gate.qubits
+    lo, hi = (ctrl, targ) if ctrl < targ else (targ, ctrl)
+    # Reorder the (ctrl, targ) matrix into (lo, hi) index order.
+    g = mat.reshape(2, 2, 2, 2)
+    if ctrl > targ:  # (ctrl, targ) = (hi, lo) -> transpose into (lo, hi)
+        g = jnp.transpose(g, (1, 0, 3, 2))
+    g = g.reshape(4, 4)
+
+    if hi == lo + 1:
+        return apply_2q_mps(mps, g, lo, trunc_thr=trunc_thr)
+
+    # Swap network: bring ``hi`` next to ``lo``.
+    sw = _swap_gate(mps.gammas.dtype)
+    for k in range(hi - 1, lo, -1):
+        mps = apply_2q_mps(mps, sw, k, trunc_thr=trunc_thr)
+    mps = apply_2q_mps(mps, g, lo, trunc_thr=trunc_thr)
+    for k in range(lo + 1, hi):
+        mps = apply_2q_mps(mps, sw, k, trunc_thr=trunc_thr)
+    return mps
+
+
+def apply_program_mps(
+    mps: MPS,
+    program: GateProgram,
+    *,
+    trunc_thr: Optional[float] = None,
+) -> MPS:
+    """Applies a whole gate program (cf. reference qcircuit_mul_mps,
+    mps_operations.py:268-298 — without the circuit re-simulation)."""
+    thr = _NO_TRUNCATION_THR if trunc_thr is None else float(trunc_thr)
+    for gate in program:
+        mps = apply_gate_mps(mps, gate, trunc_thr=thr)
+    return mps
+
+
+def mps_from_program(
+    program: GateProgram,
+    num_qubits: int,
+    *,
+    chi_max: int = 64,
+    trunc_thr: Optional[float] = None,
+    dtype=None,
+) -> MPS:
+    """``program @ |0...0>`` in MPS form (cf. reference mps_from_circuit,
+    mps_operations.py:216-265)."""
+    mps = mps_zero(num_qubits, chi_max, dtype)
+    return apply_program_mps(mps, program, trunc_thr=trunc_thr)
+
+
+# -----------------------------------------------------------------------------
+# Inner products / conversion.
+# -----------------------------------------------------------------------------
+
+
+def _folded_tensors(mps: MPS) -> jax.Array:
+    """A_i = Γ_i diag(λ_i) for i < n-1, A_{n-1} = Γ_{n-1}; stacked (n,2,chi,chi).
+
+    The λ-folding preprocessing of the reference (_preprocess_mps,
+    mps_operations.py:126-156)."""
+    n = mps.num_sites
+    lam_ext = jnp.concatenate(
+        [mps.lambdas, jnp.zeros((1, mps.chi), mps.lambdas.dtype).at[0, 0].set(1.0)],
+        axis=0,
+    )  # (n, chi) — last row is the trivial boundary
+    return mps.gammas * lam_ext[:, None, None, :].astype(mps.gammas.dtype)
+
+
+@jax.jit
+def mps_dot(mps1: MPS, mps2: MPS) -> jax.Array:
+    """``<mps1 | mps2>`` via transfer-matrix contraction, O(n chi^3)
+    (cf. reference mps_dot, mps_operations.py:192-213)."""
+    a1 = _folded_tensors(mps1)
+    a2 = _folded_tensors(mps2)
+    chi = mps1.chi
+    env0 = jnp.zeros((chi, chi), a1.dtype).at[0, 0].set(1.0)
+
+    def body(env, tensors):
+        t1, t2 = tensors
+        env = jnp.einsum("sab,aA,sAB->bB", jnp.conj(t1), env, t2)
+        return env, None
+
+    env, _ = jax.lax.scan(body, env0, (a1, a2))
+    return env[0, 0]
+
+
+def mps_norm(mps: MPS) -> jax.Array:
+    return jnp.sqrt(jnp.real(mps_dot(mps, mps)))
+
+
+def mps_to_vector(mps: MPS) -> jax.Array:
+    """Dense state vector (exponential — tests only; cf. reference
+    mps_to_vector, mps_operations.py:159-189)."""
+    a = _folded_tensors(mps)
+    n, chi = mps.num_sites, mps.chi
+    v = a[0][:, 0, :]  # (2, chi) — left boundary bond is 0
+    for i in range(1, n):
+        v = jnp.einsum("...b,sbc->s...c", v, a[i])
+    v = v[..., 0]  # right boundary bond
+    # v axes are (s_n, ..., s_1); C-order ravel puts s_n most significant —
+    # which is exactly the little-endian convention (bit j = site j).
+    return v.reshape(-1)
+
+
+def mps_from_dense(state: np.ndarray, chi_max: int, dtype=None) -> MPS:
+    """Exact MPS of a dense state via successive SVDs (host/test utility)."""
+    dtype = complex_dtype() if dtype is None else dtype
+    state = np.asarray(state)
+    n = int(round(np.log2(state.size)))
+    assert 2**n == state.size
+
+    gammas = np.zeros((n, 2, chi_max, chi_max), dtype=np.complex128)
+    lambdas = np.zeros((max(n - 1, 0), chi_max))
+
+    # Work in axis order (s_n, ..., s_1) so site 1 (LSB) splits off last;
+    # we instead split from the LSB side: reorder to (s_1, ..., s_n).
+    psi = state.reshape([2] * n).transpose(list(range(n - 1, -1, -1)))
+    # Now psi axes are (s_1, s_2, ..., s_n).
+    left_dim = 1
+    prev_lam = np.ones(1)
+    mats = psi.reshape(2 * left_dim, -1)
+    for i in range(n - 1):
+        u, s, vh = np.linalg.svd(mats, full_matrices=False)
+        k = min(chi_max, int(np.sum(s > 1e-14)))
+        u, s, vh = u[:, :k], s[:k], vh[:k, :]
+        # u: (2 * left_dim, k) -> Γ_i[s, a, b] = u[(s a), b] / prev_lam[a]
+        u3 = u.reshape(2, left_dim, k)
+        inv = np.where(prev_lam > 1e-14, 1.0 / prev_lam, 0.0)
+        gammas[i, :, :left_dim, :k] = u3 * inv[None, :, None]
+        lambdas[i, :k] = s
+        prev_lam = s
+        left_dim = k
+        mats = (np.diag(s) @ vh).reshape(2 * k, -1)
+        # reorder: rows currently (a, s_{i+1}) flattened as a*2+s? No:
+        # vh rows are bond k, columns are (s_{i+1}, ..., s_n) flattened with
+        # s_{i+1} slowest. (diag(s) vh) has shape (k, 2^{n-i-1}); reshape to
+        # (k, 2, -1) then move s next to bond: (2, k, -1) -> (2k, -1).
+        mats = (np.diag(s) @ vh).reshape(k, 2, -1).transpose(1, 0, 2).reshape(2 * k, -1)
+    # Last site: mats is (2 * left_dim, 1): Γ_n[s, a, 0] = mats / prev_lam[a]
+    inv = np.where(prev_lam > 1e-14, 1.0 / prev_lam, 0.0)
+    last = mats.reshape(2, left_dim)
+    gammas[n - 1, :, :left_dim, 0] = last * inv[None, :]
+    return MPS(jnp.asarray(gammas, dtype), jnp.asarray(lambdas))
+
+
+def rand_mps_vec(
+    num_qubits: int,
+    num_layers: int = 3,
+    chi_max: int = 32,
+) -> MPS:
+    """Random low-entanglement MPS from a random layered ansatz
+    (cf. reference rand_mps_vec, mps_operations.py:301-323)."""
+    from random import choice
+
+    from ..circuit.ansatz import Ansatz
+    from ..circuit.export import ansatz_to_program
+    from ..circuit.structures import create_ansatz_structure
+    from ..utils import rand_thetas
+
+    blocks = create_ansatz_structure(
+        num_qubits, "spin", "full", num_layers * (num_qubits - 1)
+    )
+    circ = Ansatz.make(num_qubits, choice(["cx", "cz", "cp"]), blocks)
+    thetas = rand_thetas(circ.num_thetas)
+    return mps_from_program(ansatz_to_program(circ, thetas), num_qubits, chi_max=chi_max)
+
+
+# -----------------------------------------------------------------------------
+# Ansatz application (fused blocks — one SVD per unit block).
+# -----------------------------------------------------------------------------
+
+
+def v_mul_mps(circ, thetas, mps: MPS, *, trunc_thr: Optional[float] = None) -> MPS:
+    """``V(Θ) @ mps`` with each unit block applied as ONE fused 4x4 update
+    (cf. reference v_mul_mps, mps_operations.py:326-346, which re-simulates
+    the whole circuit through Aer)."""
+    return _v_mul_mps_impl(circ, jnp.asarray(thetas), mps, False, trunc_thr)
+
+
+def v_dagger_mul_mps(circ, thetas, mps: MPS, *, trunc_thr: Optional[float] = None) -> MPS:
+    """``V(Θ)† @ mps`` (cf. reference v_dagger_mul_mps, mps_operations.py:349-371)."""
+    return _v_mul_mps_impl(circ, jnp.asarray(thetas), mps, True, trunc_thr)
+
+
+def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
+    from .statevector import block_gates, front_gates
+
+    thr = _NO_TRUNCATION_THR if trunc_thr is None else float(trunc_thr)
+    dtype = mps.gammas.dtype
+    f1q = front_gates(circ, circ.subset1q(thetas), dtype, dagger=dagger)
+    gates = block_gates(circ, circ.subset2q(thetas), dtype, dagger=dagger)
+    half = circ.half_layer_num_blocks if circ.is_trotterized else 0
+
+    def apply_block(mps_, k):
+        ctrl, targ = int(circ.blocks[0, k]), int(circ.blocks[1, k])
+        lo = min(ctrl, targ)
+        assert abs(ctrl - targ) == 1, "MPS path expects nearest-neighbour blocks"
+        g = gates[k].reshape(2, 2, 2, 2)
+        if ctrl > targ:  # (ctrl,targ)=(hi,lo) -> (lo,hi) order
+            g = jnp.transpose(g, (1, 0, 3, 2))
+        return apply_2q_mps(mps_, g.reshape(4, 4), lo, trunc_thr=thr)
+
+    order_blocks = list(range(circ.num_blocks)) + list(range(half))
+    if dagger:
+        for k in reversed(order_blocks):
+            mps = apply_block(mps, k)
+        for q in range(circ.num_qubits):
+            mps = apply_1q_mps(mps, f1q[q], q)
+    else:
+        for q in range(circ.num_qubits):
+            mps = apply_1q_mps(mps, f1q[q], q)
+        for k in order_blocks:
+            mps = apply_block(mps, k)
+    return mps

@@ -1,0 +1,106 @@
+"""Multi-start job executor.
+
+TPU-native counterpart of the reference joblib process fan-out
+(``/root/reference/aqc_research/job_executor.py:96-161``).  Design change:
+process forking would tear down / re-initialize the TPU client per worker, so
+multi-start jobs run in-process — either serially (device work dominates and
+the device is shared anyway) or via a thread pool for host-bound jobs.  The
+*device-parallel* multi-start path is ``vmap``/``shard_map`` over a batch of
+initial Θ (parallel/multistart.py) — that replaces process parallelism as the
+way to actually use the hardware.
+
+Per-job seeding keeps the reference's reproducibility contract:
+``np.random.seed(seed + 7 * (job_index + 1))`` (job_executor.py:64).
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+from concurrent.futures import ThreadPoolExecutor
+from time import perf_counter
+from typing import Callable, Dict, List
+
+import numpy as np
+
+from .. import checking as chk
+
+
+def _job_wrapper(
+    job_index: int, config: Dict, seed: int, job_function: Callable[[int, Dict], Dict]
+) -> Dict:
+    """Runs one job with per-job seeding and exception capture into 'status'
+    (cf. reference _job_function_wrapper, job_executor.py:39-93)."""
+    job_seed = seed + 7 * (job_index + 1)
+    try:
+        np.random.seed(job_seed)
+        tic = perf_counter()
+        result = job_function(job_index, config)
+        result.update(
+            {
+                "time": perf_counter() - tic,
+                "status": "ok",
+                "job_index": job_index,
+                "seed": job_seed,
+            }
+        )
+    except Exception:  # noqa: BLE001 — captured into the result status
+        print(f"exception in job={job_index}\n", flush=True)
+        result = {
+            "time": -1.0,
+            "status": traceback.format_exc(),
+            "job_index": job_index,
+            "seed": job_seed,
+        }
+    return result
+
+
+def run_jobs(
+    configs: List[Dict],
+    seed: int,
+    job_function: Callable[[int, Dict], Dict],
+    *,
+    tolerate_failure: bool = False,
+    num_jobs: int = 1,
+) -> List[Dict]:
+    """Runs one simulation per config; returns the list of valid results.
+
+    Args:
+        configs: per-job parameter dictionaries.
+        seed: base seed; each job derives a unique one.
+        job_function: (job_index, config) -> result dict.
+        tolerate_failure: drop failed jobs instead of failing the run
+            (at least one job must succeed).
+        num_jobs: concurrent jobs; 1 = serial (default — device work is
+            serialized on the accelerator anyway), >1 or -1 = thread pool.
+    """
+    assert chk.is_list(configs, len(configs) > 0) and chk.is_dict(configs[0])
+    assert callable(job_function)
+    assert chk.is_int(num_jobs, num_jobs == -1 or num_jobs >= 1)
+
+    if num_jobs == 1:
+        results = [
+            _job_wrapper(i, c, seed, job_function) for i, c in enumerate(configs)
+        ]
+    else:
+        workers = None if num_jobs == -1 else num_jobs
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [
+                pool.submit(_job_wrapper, i, c, seed, job_function)
+                for i, c in enumerate(configs)
+            ]
+            results = [f.result() for f in futures]
+
+    sys.stderr.flush()
+    sys.stdout.flush()
+
+    for r in results:
+        if not r["status"].startswith("ok"):
+            print(f"Simulation {r['job_index']} failed:\n\n{r['status']}\n{'-' * 80}\n")
+
+    if sum(r["status"].startswith("ok") for r in results) == 0:
+        raise RuntimeError("there is no valid simulation results")
+
+    if tolerate_failure:
+        results = [r for r in results if r["status"].startswith("ok")]
+    return results
