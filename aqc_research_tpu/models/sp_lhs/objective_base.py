@@ -396,8 +396,12 @@ class SpLHSObjectiveBase(ABC):
         max_flips = user_parameters["max_flips"]
         state_prep_func = user_parameters.get("state_prep_func", None)
         if use_mps:
+            # The flip states are multiplied by ansatz gates inside the MPS
+            # co-sweep gradient, so their (static) bond dimension must be the
+            # same working chi as the target path.
+            chi_max = int(user_parameters.get("chi_max", 64))
             self._state_handler = MpsStateHandler(
-                num_qubits, max_flips, state_prep_func, verbose
+                num_qubits, max_flips, state_prep_func, verbose, chi_max=chi_max
             )
             self._num_states = num_qubits + 1
             if max_flips != 1:

