@@ -20,19 +20,25 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Enable x64 support so "high" mode is available at all.  This does NOT force
-# f64 everywhere: dtypes are taken from `real_dtype()` / `complex_dtype()`.
-jax.config.update("jax_enable_x64", True)
-
 _PRECISION = os.environ.get("AQC_TPU_PRECISION", "high")
+
+# In "high" mode x64 must be on (complex128 parity tests); in "fast" mode it
+# must be OFF so Python scalar literals cannot promote intermediates to c128.
+jax.config.update("jax_enable_x64", _PRECISION == "high")
 
 
 def set_precision(mode: str) -> None:
-    """Sets the global precision mode: ``"high"`` (f64/c128) or ``"fast"`` (f32/c64)."""
+    """Sets the global precision mode: ``"high"`` (f64/c128) or ``"fast"`` (f32/c64).
+
+    "fast" also disables jax x64 so Python scalar literals (e.g. ``0.5j``)
+    cannot promote intermediates to c128 — required on TPU generations
+    without c128 support.  Call before tracing any jitted function.
+    """
     global _PRECISION
     if mode not in ("high", "fast"):
         raise ValueError(f"unknown precision mode: {mode!r}")
     _PRECISION = mode
+    jax.config.update("jax_enable_x64", mode == "high")
 
 
 def precision() -> str:

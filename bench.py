@@ -1,0 +1,152 @@
+"""Benchmark: time-to-infidelity 1e-3 on the 12-qubit ASP config.
+
+Headline metric of BASELINE.md: minimize the ASP fidelity objective on a
+12-qubit, 2-layer Trotter-like ansatz with perfect initialization (initial
+infidelity ~4e-3) until infidelity <= 1e-3.
+
+* TPU path: fully-jitted L-BFGS (optax zoom linesearch) over the fused-block
+  statevector engine + analytic co-sweep gradient — the entire optimization
+  is one XLA program.
+* CPU baseline: the same algorithm in NumPy (benchmarks/numpy_baseline.py,
+  parity-tested against the JAX engine) + SciPy L-BFGS-B — a conservative
+  stand-in for the reference CPU implementation, whose Qiskit/Aer stack is
+  not installed here and which publishes no numbers of its own (BASELINE.md).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <tpu seconds>, "unit": "s", "vs_baseline": <x>}
+where vs_baseline = cpu_seconds / tpu_seconds (higher is better).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+INFIDELITY_TARGET = 1e-3
+NUM_QUBITS = 12
+NUM_LAYERS = 2
+MAXITER = 200
+
+
+def _setup(dtype):
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from aqc_research_tpu.config import set_precision
+
+    # Build-time dtype must match: this TPU generation has no c128 support.
+    set_precision("fast" if dtype == jnp.complex64 else "high")
+    return ge._flagship(NUM_QUBITS, NUM_LAYERS, dtype)
+
+
+def bench_tpu() -> float:
+    """Returns seconds to reach the infidelity target (steady-state: compile
+    excluded via warm-up)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aqc_research_tpu.config import is_tpu
+    from aqc_research_tpu.ops.statevector import v_dagger_mul_vec
+    from aqc_research_tpu.optim.lbfgs import minimize_lbfgs
+
+    dtype = jnp.complex64 if is_tpu() else jnp.complex128
+    circ, thetas0, target, state_idx = _setup(dtype)
+    idx0 = int(state_idx[0])
+    rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
+    thetas0 = thetas0.astype(rdtype)
+
+    def loss(thetas):
+        vh = v_dagger_mul_vec(circ, thetas, target)
+        return 1.0 - jnp.abs(vh[idx0]) ** 2
+
+    run = jax.jit(
+        lambda x0: minimize_lbfgs(
+            loss, x0, maxiter=MAXITER, fobj_thr=INFIDELITY_TARGET
+        )
+    )
+    # Warm-up (compile).
+    res = run(thetas0)
+    res.fobj.block_until_ready()
+    assert float(res.fobj) <= INFIDELITY_TARGET, (
+        f"TPU path failed to reach target: {float(res.fobj)}"
+    )
+    # Timed runs.
+    times = []
+    for _ in range(3):
+        tic = time.perf_counter()
+        res = run(thetas0)
+        res.fobj.block_until_ready()
+        times.append(time.perf_counter() - tic)
+    return float(min(times)), int(res.num_iters), float(res.fobj)
+
+
+def bench_cpu_baseline(time_cap: float = 300.0) -> float:
+    """Same optimization with the NumPy kernels + SciPy L-BFGS-B."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import jax.numpy as jnp
+    import scipy.optimize as sciopt
+
+    from aqc_research_tpu.config import complex_dtype
+
+    from benchmarks import numpy_baseline as npb
+
+    # Reuse the device-built setup (the accelerator may not support c128);
+    # the baseline itself runs in full f64 NumPy.
+    circ, thetas0, target, state_idx = _setup(complex_dtype())
+    idx0 = int(state_idx[0])
+    thetas0 = np.asarray(thetas0, dtype=np.float64)
+    target = np.asarray(target).astype(np.complex128)
+
+    state = {"f": None, "g": None, "start": None, "reached": None}
+
+    def fun(th):
+        f, g = npb.asp_objective_and_gradient(circ, th, target, idx0)
+        state["g"] = g
+        if state["reached"] is None and f <= INFIDELITY_TARGET:
+            state["reached"] = time.perf_counter() - state["start"]
+        if time.perf_counter() - state["start"] > time_cap:
+            raise TimeoutError("baseline time cap hit")
+        return f
+
+    def jac(_th):
+        return state["g"]
+
+    state["start"] = time.perf_counter()
+    try:
+        sciopt.minimize(
+            fun,
+            thetas0,
+            jac=jac,
+            method="L-BFGS-B",
+            options={"maxiter": MAXITER, "maxfun": 5 * MAXITER},
+        )
+    except TimeoutError:
+        pass
+    total = time.perf_counter() - state["start"]
+    return float(state["reached"] if state["reached"] is not None else total)
+
+
+def main():
+    tpu_time, nit, final_fobj = bench_tpu()
+    cpu_time = bench_cpu_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "time-to-infidelity 1e-3, 12q ASP "
+                    "(2-layer Trotter ansatz, perfect init)"
+                ),
+                "value": round(tpu_time, 6),
+                "unit": "s",
+                "vs_baseline": round(cpu_time / max(tpu_time, 1e-9), 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Tests of the device-parallel layer: vmap multi-start, mesh sharding,
+executor, and checkpointing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aqc_research_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from aqc_research_tpu.ops.mps import mps_from_program, mps_to_vector
+from aqc_research_tpu.circuit.program import ProgramBuilder
+from aqc_research_tpu.parallel.executor import run_jobs
+from aqc_research_tpu.parallel.mesh import make_mesh, shard_batch, shard_state
+from aqc_research_tpu.parallel.multistart import (
+    multistart_minimize,
+    random_initial_thetas,
+)
+
+
+def _quad(x):
+    return jnp.sum((x - 1.5) ** 2)
+
+
+class TestMultistart:
+    def test_vmap_lbfgs(self):
+        key = jax.random.key(0)
+        batch = random_initial_thetas(key, 6, 4)
+        res = multistart_minimize(_quad, batch, maxiter=50)
+        assert res.fobj.shape == (6,)
+        assert float(jnp.max(res.fobj)) < 1e-8
+        assert np.allclose(np.asarray(res.thetas), 1.5, atol=1e-3)
+
+    def test_sharded_multistart(self):
+        mesh = make_mesh((len(jax.devices()),), ("dp",))
+        batch = random_initial_thetas(jax.random.key(1), 8, 4)
+        res = multistart_minimize(
+            _quad, batch, maxiter=50, mesh=mesh, batch_axis="dp"
+        )
+        assert float(jnp.max(res.fobj)) < 1e-8
+
+    def test_multistart_on_real_objective(self):
+        """Batched ASP loss over a mesh-sharded statevector."""
+        from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+        from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+        from aqc_research_tpu.ops.statevector import v_dagger_mul_vec
+        from aqc_research_tpu.utils import rand_state
+
+        n = 5
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 1), False)
+        target = jnp.asarray(rand_state(n))
+
+        def loss(thetas):
+            vh = v_dagger_mul_vec(circ, thetas, target)
+            return 1.0 - jnp.abs(vh[0]) ** 2
+
+        batch = random_initial_thetas(jax.random.key(2), 4, circ.num_thetas)
+        res = multistart_minimize(loss, batch, maxiter=30)
+        assert res.fobj.shape == (4,)
+        # optimization reduces the loss from the random inits
+        init_losses = jax.vmap(loss)(batch)
+        assert float(jnp.min(res.fobj)) < float(jnp.min(init_losses))
+
+
+class TestMesh:
+    def test_sharded_state_apply(self):
+        """Gate application on a tp-sharded statevector matches unsharded."""
+        from aqc_research_tpu.circuit.ansatz import Ansatz
+        from aqc_research_tpu.ops.statevector import v_mul_vec
+        from aqc_research_tpu.utils import rand_circuit, rand_state, rand_thetas
+
+        n = 6
+        circ = Ansatz.make(n, "cx", rand_circuit(n, 8))
+        thetas = rand_thetas(circ.num_thetas)
+        state = rand_state(n)
+        expected = np.asarray(v_mul_vec(circ, thetas, jnp.asarray(state)))
+
+        mesh = make_mesh((1, min(4, len(jax.devices()))), ("dp", "tp"))
+        sharded = shard_state(jnp.asarray(state), mesh, "tp")
+        got = np.asarray(v_mul_vec(circ, thetas, sharded))
+        assert np.max(np.abs(got - expected)) < 1e-12
+
+
+class TestExecutor:
+    def test_run_jobs_seeding_and_failure(self):
+        def job(idx, config):
+            if idx == 1:
+                raise RuntimeError("boom")
+            return {"cost": float(np.random.rand()), "idx": idx}
+
+        results = run_jobs(
+            [{}, {}, {}], seed=42, job_function=job, tolerate_failure=True
+        )
+        assert len(results) == 2  # failed job filtered
+        assert all(r["status"] == "ok" for r in results)
+        assert results[0]["seed"] == 42 + 7  # reference seeding convention
+
+        with pytest.raises(RuntimeError):
+            run_jobs([{}], seed=0, job_function=lambda i, c: 1 / 0)
+
+
+class TestCheckpoint:
+    def test_roundtrip_with_mps(self, tmp_path):
+        qb = ProgramBuilder(3)
+        qb.h(0)
+        qb.cx(0, 1)
+        mps = mps_from_program(qb.build(), 3, chi_max=4)
+        state = {
+            "thetas": np.arange(5.0),
+            "horizon": 2,
+            "tag": "exp1",
+            "target": mps,
+        }
+        path = save_checkpoint(str(tmp_path / "ckpt"), state)
+        loaded = load_checkpoint(path)
+        np.testing.assert_allclose(loaded["thetas"], state["thetas"])
+        assert loaded["horizon"] == 2 and loaded["tag"] == "exp1"
+        np.testing.assert_allclose(
+            np.asarray(mps_to_vector(loaded["target"])),
+            np.asarray(mps_to_vector(mps)),
+        )
+
+    def test_missing_returns_none(self, tmp_path):
+        assert load_checkpoint(str(tmp_path / "nope")) is None
