@@ -1,24 +1,37 @@
-"""Analytic co-sweep gradient of ``<lvec | V† | phi>`` in MPS form.
+"""Analytic co-sweep gradient of ``<lvec | V† | phi>`` in MPS form, with
+left/right environment caching.
 
 TPU-native counterpart of the reference ``fast_dot_gradient``
-(``/root/reference/aqc_research/mps_dot_objective.py:41-242``).  The reference
-implements every per-gate step as a FULL Qiskit-Aer circuit re-simulation
-(set_matrix_product_state -> compose one gate -> rerun the C++ simulator,
-mps_dot_objective.py:326-331) — the dominant overhead of its MPS path
-(SURVEY.md §3.4).  Here each step is a local on-device tensor update:
-1-qubit gates are O(chi^2) einsums, the entangler is one O(chi^3)
-SVD-truncated pair update, and each parameter's derivative is one
-transfer-matrix inner product ``0.5j * <P w | z>``.
+(``/root/reference/aqc_research/mps_dot_objective.py:41-242``).  Two levels of
+speedup over the reference:
 
-Gate order, partial-gradient (``block_range``) semantics, the CP two-point
-derivative workaround, and the 2nd-order Trotter half-layer accumulation all
-match the reference exactly (verified against the dense co-sweep in tests).
+1. The reference implements every per-gate step as a FULL Qiskit-Aer circuit
+   re-simulation (mps_dot_objective.py:326-331).  Here each step is a local
+   on-device tensor update (O(chi^2) for 1-qubit gates, one O(chi^3)
+   SVD-truncated pair update for the entangler).
+2. The reference computes every per-parameter derivative as a full
+   transfer-matrix inner product over all n sites.  Here the inner products
+   ``0.5j * <P w | z>`` reuse **cached left/right environments** of <w|z>:
+   a right-environment stack is refreshed once per (half-)layer sweep
+   (O(n chi^3)), the left environment is carried along the sweep, and each
+   dot then costs O(chi^3) — an O(n) asymptotic win (SURVEY.md §7: "left/
+   right environment caching so a gradient sweep costs O(depth·chi^3)").
+
+Environment validity: a block sweep only ever modifies its own pair of
+sites, so right environments computed at the last refresh stay valid for all
+sites to the right of the current pair as long as the sweep moves
+left-to-right; the sweep refreshes whenever the block order wraps around
+(start of each chessboard half-layer).
+
+Gate order, partial-gradient semantics, the CP two-point derivative, and the
+2nd-order Trotter half-layer accumulation match the reference exactly
+(verified against the dense co-sweep in tests/test_mps_fast_dot_gradient.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,17 +39,128 @@ import numpy as np
 
 from ..circuit import gates as G
 from ..circuit.ansatz import Ansatz
-from .mps import MPS, apply_1q_mps, apply_2q_mps, mps_dot, no_truncation_threshold
+from .mps import MPS, apply_1q_mps, apply_2q_mps, no_truncation_threshold
 
 
-def _dot_pauli(pauli_mat, site: int, w: MPS, z: MPS) -> jax.Array:
-    """``0.5j * <P @ w | z>`` (cf. reference dot_x/y/z,
-    mps_dot_objective.py:471-516)."""
-    return 0.5j * mps_dot(apply_1q_mps(w, pauli_mat, site), z)
+# -----------------------------------------------------------------------------
+# Environment machinery.
+# -----------------------------------------------------------------------------
 
 
-def _apply_1q_both(w: MPS, z: MPS, gate, site: int):
-    return apply_1q_mps(w, gate, site), apply_1q_mps(z, gate, site)
+def _site_tensor(mps: MPS, q: int) -> jax.Array:
+    """lambda-folded site tensor A_q = Γ_q diag(λ_q) (A_{n-1} = Γ_{n-1})."""
+    n = mps.num_sites
+    g = mps.gammas[q]
+    if q < n - 1:
+        return g * mps.lambdas[q][None, None, :].astype(g.dtype)
+    return g
+
+
+def _env_left_step(env, aw, az):
+    """env'[b,B] = sum_s conj(aw)[s,a,b] env[a,A] az[s,A,B]."""
+    return jnp.einsum("aA,sab,sAB->bB", env, jnp.conj(aw), az)
+
+
+def _env_right_step(aw, az, env):
+    """env'[a,A] = sum_s conj(aw)[s,a,b] az[s,A,B] env[b,B]."""
+    return jnp.einsum("sab,sAB,bB->aA", jnp.conj(aw), az, env)
+
+
+class _EnvTracker:
+    """Carries the left environment and a right-environment stack of <w|z>;
+    refreshes the stack whenever the gate order wraps leftwards."""
+
+    def __init__(self, w: MPS, z: MPS):
+        self.w = w
+        self.z = z
+        self.n = w.num_sites
+        self._left = None  # env of sites [0, absorbed)
+        self._absorbed = 0
+        self._right: Optional[jax.Array] = None  # (n, chi_w, chi_z); [q] = sites > q
+        self._max_mod = -1  # highest site modified since the last refresh
+
+    def _boundary(self):
+        cw, cz = self.w.chi, self.z.chi
+        dtype = self.w.gammas.dtype
+        return jnp.zeros((cw, cz), dtype).at[0, 0].set(1.0)
+
+    def refresh(self):
+        """Recomputes the right-environment stack from the current tensors."""
+        aw = jnp.stack([_site_tensor(self.w, q) for q in range(self.n)])
+        az = jnp.stack([_site_tensor(self.z, q) for q in range(self.n)])
+
+        def body(env, ts):
+            taw, taz = ts
+            new_env = _env_right_step(taw, taz, env)
+            return new_env, new_env
+
+        # envs_after[q] = contraction of sites >= q ; we need R[q] = sites > q.
+        _, envs = jax.lax.scan(body, self._boundary(), (aw[::-1], az[::-1]))
+        # envs[k] = contraction of sites >= n-1-k  ->  R[q] = envs[n-2-q]
+        r_stack = envs[::-1]  # r_stack[q] = contraction of sites >= q
+        self._right = jnp.concatenate(
+            [r_stack[1:], self._boundary()[None]], axis=0
+        )  # R[q] = sites > q
+        self._left = self._boundary()
+        self._absorbed = 0
+        self._max_mod = -1
+
+    def prepare(self, lo: int, hi: int):
+        """Makes L cover sites < lo and R[hi] valid for the block (lo, hi)."""
+        if self._right is None or self._absorbed > lo or self._max_mod > hi:
+            self.refresh()
+        while self._absorbed < lo:
+            q = self._absorbed
+            self._left = _env_left_step(
+                self._left, _site_tensor(self.w, q), _site_tensor(self.z, q)
+            )
+            self._absorbed += 1
+
+    def mark_modified(self, hi: int):
+        self._max_mod = max(self._max_mod, hi)
+
+    def dot_1site(self, q: int, pauli_mat, w_override: Optional[MPS] = None):
+        """<P@w | z> restricted transfer at site q: L · T_q(P) · R[q]."""
+        w = self.w if w_override is None else w_override
+        aw = _site_tensor(w, q)
+        aw = jnp.einsum("ij,jab->iab", pauli_mat.astype(aw.dtype), aw)
+        t = _env_left_step(self._left if self._absorbed == q else self._left_to(q),
+                           aw, _site_tensor(self.z, q))
+        return jnp.sum(t * self._right[q])
+
+    def _left_to(self, q: int):
+        """Left env extended (without committing) from ``absorbed`` to q."""
+        env = self._left
+        for k in range(self._absorbed, q):
+            env = _env_left_step(env, _site_tensor(self.w, k), _site_tensor(self.z, k))
+        return env
+
+    def dot_pair(
+        self,
+        lo: int,
+        pauli_site: Optional[int],
+        pauli_mat,
+        w_override: Optional[MPS] = None,
+    ):
+        """<(P@)w | z> via the two-site transfer at (lo, lo+1):
+        L · T_lo · T_hi · R[lo+1].  ``pauli_site`` None applies no Pauli."""
+        w = self.w if w_override is None else w_override
+        hi = lo + 1
+        aw_lo = _site_tensor(w, lo)
+        aw_hi = _site_tensor(w, hi)
+        if pauli_site == lo:
+            aw_lo = jnp.einsum("ij,jab->iab", pauli_mat.astype(aw_lo.dtype), aw_lo)
+        elif pauli_site == hi:
+            aw_hi = jnp.einsum("ij,jab->iab", pauli_mat.astype(aw_hi.dtype), aw_hi)
+        env = self._left if self._absorbed == lo else self._left_to(lo)
+        env = _env_left_step(env, aw_lo, _site_tensor(self.z, lo))
+        env = _env_left_step(env, aw_hi, _site_tensor(self.z, hi))
+        return jnp.sum(env * self._right[hi])
+
+
+# -----------------------------------------------------------------------------
+# The gradient sweep.
+# -----------------------------------------------------------------------------
 
 
 def _entangler_4x4_lo_hi(circ: Ansatz, tht, dtype, ctrl: int, targ: int, shift=0.0):
@@ -70,23 +194,30 @@ def _fast_dot_gradient_impl(
     cp = circ.entangler == "cp"
     rs_fn = G.rx if circ.entangler == "cx" else G.rz
     s_mat = G.x(dtype) if circ.entangler == "cx" else G.z(dtype)
-    y_mat, z_mat = G.y(dtype), G.z(dtype)
+    y_mat, z_pauli = G.y(dtype), G.z(dtype)
     trot = circ.is_trotterized
 
     thetas1q = circ.subset1q(thetas)
     thetas2q = circ.subset2q(thetas)
     w, z = lvec, vh_phi
+    env = _EnvTracker(w, z)
+
+    def apply_1q_both(gate, site):
+        env.w = apply_1q_mps(env.w, gate, site)
+        env.z = apply_1q_mps(env.z, gate, site)
+        env.mark_modified(site)
 
     zero = jnp.zeros((), dtype)
-    grad1q_rows = []
+    grad1q_rows: List[jax.Array] = []
     for q in range(n):
         t = thetas1q[q]
-        w, z = _apply_1q_both(w, z, G.rz(t[2], dtype), q)
-        d2 = _dot_pauli(z_mat, q, w, z) if front_layer else zero
-        w, z = _apply_1q_both(w, z, G.ry(t[1], dtype), q)
-        d1 = _dot_pauli(y_mat, q, w, z) if front_layer else zero
-        w, z = _apply_1q_both(w, z, G.rz(t[0], dtype), q)
-        d0 = _dot_pauli(z_mat, q, w, z) if front_layer else zero
+        env.prepare(q, q)
+        apply_1q_both(G.rz(t[2], dtype), q)
+        d2 = 0.5j * env.dot_1site(q, z_pauli) if front_layer else zero
+        apply_1q_both(G.ry(t[1], dtype), q)
+        d1 = 0.5j * env.dot_1site(q, y_mat) if front_layer else zero
+        apply_1q_both(G.rz(t[0], dtype), q)
+        d0 = 0.5j * env.dot_1site(q, z_pauli) if front_layer else zero
         grad1q_rows.append(jnp.stack([d0, d1, d2]))
     grad1q = jnp.stack(grad1q_rows)
 
@@ -101,40 +232,43 @@ def _fast_dot_gradient_impl(
         k = i % nb
         ctrl = int(circ.blocks[0, k])
         targ = int(circ.blocks[1, k])
-        lo = min(ctrl, targ)
-        assert abs(ctrl - targ) == 1, "MPS gradient expects nearest-neighbour blocks"
+        lo, hi = min(ctrl, targ), max(ctrl, targ)
+        assert hi == lo + 1, "MPS gradient expects nearest-neighbour blocks"
         t = thetas2q[k]
         mask = masks[k]
 
+        env.prepare(lo, hi)
+
         if trot and i % 3 == 0:
-            w, z = _apply_1q_both(w, z, G.rz(-np.pi / 2, dtype), ctrl)
+            apply_1q_both(G.rz(-np.pi / 2, dtype), ctrl)
 
         ent = _entangler_4x4_lo_hi(circ, t, dtype, ctrl, targ)
-        z = apply_2q_mps(z, ent, lo, trunc_thr=trunc_thr)
-        dots = []
+        env.z = apply_2q_mps(env.z, ent, lo, trunc_thr=trunc_thr)
         if cp:
-            # CP derivative is not unitary-proportional: use the two-point
-            # difference of shifted CP gates (mps_dot_objective.py:186-196).
+            # CP derivative is not unitary-proportional: two-point difference
+            # of shifted CP gates (mps_dot_objective.py:186-196).
             ent2 = _entangler_4x4_lo_hi(circ, t, dtype, ctrl, targ, shift=np.pi)
-            w2 = apply_2q_mps(w, ent2, lo, trunc_thr=trunc_thr)
-            w = apply_2q_mps(w, ent, lo, trunc_thr=trunc_thr)
-            cp_w_z = mps_dot(w, z)
-            cp_w_z2 = mps_dot(w2, z)
+            w2 = apply_2q_mps(env.w, ent2, lo, trunc_thr=trunc_thr)
+            env.w = apply_2q_mps(env.w, ent, lo, trunc_thr=trunc_thr)
+            env.mark_modified(hi)
+            cp_w_z = env.dot_pair(lo, None, None)
+            cp_w_z2 = env.dot_pair(lo, None, None, w_override=w2)
             d4 = mask * (-0.5j) * (cp_w_z - cp_w_z2)
         else:
-            w = apply_2q_mps(w, ent, lo, trunc_thr=trunc_thr)
+            env.w = apply_2q_mps(env.w, ent, lo, trunc_thr=trunc_thr)
+            env.mark_modified(hi)
 
-        w, z = _apply_1q_both(w, z, G.ry(t[0], dtype), ctrl)
-        d0 = mask * _dot_pauli(y_mat, ctrl, w, z)
-        w, z = _apply_1q_both(w, z, G.rz(t[1], dtype), ctrl)
-        d1 = mask * _dot_pauli(z_mat, ctrl, w, z)
-        w, z = _apply_1q_both(w, z, G.ry(t[2], dtype), targ)
-        d2 = mask * _dot_pauli(y_mat, targ, w, z)
-        w, z = _apply_1q_both(w, z, rs_fn(t[3], dtype), targ)
-        d3 = mask * _dot_pauli(s_mat, targ, w, z)
+        apply_1q_both(G.ry(t[0], dtype), ctrl)
+        d0 = mask * 0.5j * env.dot_pair(lo, ctrl, y_mat)
+        apply_1q_both(G.rz(t[1], dtype), ctrl)
+        d1 = mask * 0.5j * env.dot_pair(lo, ctrl, z_pauli)
+        apply_1q_both(G.ry(t[2], dtype), targ)
+        d2 = mask * 0.5j * env.dot_pair(lo, targ, y_mat)
+        apply_1q_both(rs_fn(t[3], dtype), targ)
+        d3 = mask * 0.5j * env.dot_pair(lo, targ, s_mat)
 
         if trot and i % 3 == 2:
-            w, z = _apply_1q_both(w, z, G.rz(np.pi / 2, dtype), targ)
+            apply_1q_both(G.rz(np.pi / 2, dtype), targ)
 
         dots = [d0, d1, d2, d3] + ([d4] if cp else [])
         grad2q = grad2q.at[k].add(jnp.stack(dots))

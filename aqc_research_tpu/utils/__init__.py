@@ -27,6 +27,29 @@ from ..config import complex_dtype, real_dtype
 
 
 # -----------------------------------------------------------------------------
+# Device -> host transfer.
+# -----------------------------------------------------------------------------
+
+
+def to_host(x) -> np.ndarray:
+    """Fetches a (possibly complex) device array to a NumPy array.
+
+    Some TPU runtimes (the tunneled axon platform) cannot transfer complex
+    buffers device->host; this helper splits complex arrays into real/imag on
+    device and recombines on the host.
+    """
+    import jax.numpy as jnp
+
+    if hasattr(x, "dtype") and np.dtype(x.dtype).kind == "c" and not isinstance(
+        x, np.ndarray
+    ):
+        re = np.asarray(jnp.real(x))
+        im = np.asarray(jnp.imag(x))
+        return re + 1j * im
+    return np.asarray(x)
+
+
+# -----------------------------------------------------------------------------
 # Size / CPU helpers.
 # -----------------------------------------------------------------------------
 

@@ -57,15 +57,20 @@ def bench_tpu() -> float:
     rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
     thetas0 = thetas0.astype(rdtype)
 
-    def loss(thetas):
-        vh = v_dagger_mul_vec(circ, thetas, target)
+    def loss(thetas, tgt):
+        vh = v_dagger_mul_vec(circ, thetas, tgt)
         return 1.0 - jnp.abs(vh[idx0]) ** 2
 
+    # NOTE: the target is passed as a traced argument — closing over a
+    # device-resident complex array would make jit embed it as an MLIR
+    # constant, which requires a device->host copy of a complex buffer that
+    # this TPU runtime does not implement.
     run = jax.jit(
-        lambda x0: minimize_lbfgs(
-            loss, x0, maxiter=MAXITER, fobj_thr=INFIDELITY_TARGET
+        lambda x0, tgt: minimize_lbfgs(
+            lambda th: loss(th, tgt), x0, maxiter=MAXITER, fobj_thr=INFIDELITY_TARGET
         )
     )
+    run = lambda x0, _run=run: _run(x0, target)  # noqa: E731
     # Warm-up (compile).
     res = run(thetas0)
     res.fobj.block_until_ready()
@@ -96,10 +101,12 @@ def bench_cpu_baseline(time_cap: float = 300.0) -> float:
 
     # Reuse the device-built setup (the accelerator may not support c128);
     # the baseline itself runs in full f64 NumPy.
+    from aqc_research_tpu.utils import to_host
+
     circ, thetas0, target, state_idx = _setup(complex_dtype())
     idx0 = int(state_idx[0])
     thetas0 = np.asarray(thetas0, dtype=np.float64)
-    target = np.asarray(target).astype(np.complex128)
+    target = to_host(target).astype(np.complex128)
 
     state = {"f": None, "g": None, "start": None, "reached": None}
 
