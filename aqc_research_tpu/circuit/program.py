@@ -142,8 +142,11 @@ def inverse_program(program: GateProgram) -> GateProgram:
     return tuple(inv)
 
 
-def apply_program(state: jax.Array, program: GateProgram, tail: int = 1) -> jax.Array:
-    """Applies a gate program to a state (or matrix columns via ``tail``)."""
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(1, 2))
+def _apply_program_jit(state: jax.Array, program: GateProgram, tail: int) -> jax.Array:
     from ..ops.statevector import apply_1q, apply_2q
 
     for gate in program:
@@ -155,20 +158,41 @@ def apply_program(state: jax.Array, program: GateProgram, tail: int = 1) -> jax.
     return state
 
 
+def apply_program(state: jax.Array, program: GateProgram, tail: int = 1) -> jax.Array:
+    """Applies a gate program to a state (or matrix columns via ``tail``).
+
+    The whole program runs as ONE jitted XLA computation (the program tuple
+    is a hashable static argument) — per-gate eager dispatch would both
+    fragment fusion and, on remote-compile TPU runtimes, pay a compilation
+    round trip per gate.
+    """
+    return _apply_program_jit(state, tuple(program), tail)
+
+
+@_partial(jax.jit, static_argnums=(0, 1, 2))
+def _program_to_state_jit(program: GateProgram, num_qubits: int, dtype) -> jax.Array:
+    state = jnp.zeros(2**num_qubits, dtype).at[0].set(1)
+    return _apply_program_jit(state, program, 1)
+
+
 def program_to_state(program: GateProgram, num_qubits: int, dtype=None) -> jax.Array:
     """``program @ |0...0>`` as a dense vector (cf. reference
     ``qcircuit_to_state``, circuit_transform.py:40-52)."""
     dtype = complex_dtype() if dtype is None else dtype
-    state = jnp.zeros(2**num_qubits, dtype).at[0].set(1)
-    return apply_program(state, program)
+    return _program_to_state_jit(tuple(program), num_qubits, dtype)
+
+
+@_partial(jax.jit, static_argnums=(0, 1, 2))
+def _program_to_matrix_jit(program: GateProgram, num_qubits: int, dtype) -> jax.Array:
+    eye = jnp.eye(2**num_qubits, dtype=dtype)
+    return _apply_program_jit(eye, program, 2**num_qubits)
 
 
 def program_to_matrix(program: GateProgram, num_qubits: int, dtype=None) -> jax.Array:
     """Dense operator of a program (cf. ``qcircuit_to_matrix``,
     circuit_transform.py:55-67).  Exponentially sized — tests/targets only."""
     dtype = complex_dtype() if dtype is None else dtype
-    eye = jnp.eye(2**num_qubits, dtype=dtype)
-    return apply_program(eye, program, tail=2**num_qubits)
+    return _program_to_matrix_jit(tuple(program), num_qubits, dtype)
 
 
 def state_preparation_program(

@@ -178,6 +178,19 @@ class GenericStateHandler:
     def num_states(self) -> int:
         return self._states.shape[0]
 
+    def init_composite_state_no_zero(self, _):
+        """Interface stub (cf. objective_base.py:328-342)."""
+        raise NotImplementedError()
+
+    def init_composite_state(self, _):
+        raise NotImplementedError()
+
+    def composite_state_dot_vector_no_zero(self, _, __):
+        raise NotImplementedError()
+
+    def composite_state_dot_vector(self, _, __):
+        raise NotImplementedError()
+
 
 class MpsStateHandler:
     """Flip states in MPS form (cf. objective_base.py:345-430).  max_flips <= 1."""
@@ -229,6 +242,19 @@ class MpsStateHandler:
     @property
     def num_states(self) -> int:
         return len(self._states)
+
+    def init_composite_state_no_zero(self, _):
+        """Interface stub (cf. objective_base.py:415-429)."""
+        raise NotImplementedError()
+
+    def init_composite_state(self, _):
+        raise NotImplementedError()
+
+    def composite_state_dot_vector_no_zero(self, _, __):
+        raise NotImplementedError()
+
+    def composite_state_dot_vector(self, _, __):
+        raise NotImplementedError()
 
 
 # -----------------------------------------------------------------------------

@@ -41,50 +41,73 @@ def _setup(dtype):
     return ge._flagship(NUM_QUBITS, NUM_LAYERS, dtype)
 
 
-def bench_tpu() -> float:
-    """Returns seconds to reach the infidelity target (steady-state: compile
-    excluded via warm-up)."""
+def bench_tpu():
+    """Returns (seconds to reach the infidelity target, iters, final fobj);
+    compile excluded via a warm-up run.
+
+    The accelerator path jits ONE program — the fused objective + analytic
+    co-sweep gradient — and drives it with SciPy L-BFGS-B from the host (the
+    same optimizer as the CPU baseline, so the comparison isolates the
+    compute engine).  A fully-on-device ``optax.lbfgs`` loop exists
+    (optim/lbfgs.py) but tunneled remote-compile TPU runtimes pay minutes per
+    distinct XLA program, so the bench keeps the compile surface minimal.
+    """
     import jax
     import jax.numpy as jnp
+    import scipy.optimize as sciopt
 
     from aqc_research_tpu.config import is_tpu
+    from aqc_research_tpu.ops.gradients import grad_of_dot_product
     from aqc_research_tpu.ops.statevector import v_dagger_mul_vec
-    from aqc_research_tpu.optim.lbfgs import minimize_lbfgs
 
     dtype = jnp.complex64 if is_tpu() else jnp.complex128
     circ, thetas0, target, state_idx = _setup(dtype)
     idx0 = int(state_idx[0])
     rdtype = jnp.float32 if dtype == jnp.complex64 else jnp.float64
-    thetas0 = thetas0.astype(rdtype)
+    thetas0 = np.asarray(thetas0, np.float64)
 
-    def loss(thetas, tgt):
+    # NOTE: the target is a traced argument — closing over a device-resident
+    # complex array would make jit embed it as an MLIR constant, requiring a
+    # device->host complex copy this TPU runtime does not implement.
+    @jax.jit
+    def obj_and_grad(thetas, tgt):
         vh = v_dagger_mul_vec(circ, thetas, tgt)
-        return 1.0 - jnp.abs(vh[idx0]) ** 2
+        hs0 = vh[idx0]
+        x0 = jnp.zeros_like(tgt).at[idx0].set(1)
+        grad = grad_of_dot_product(circ, thetas, x0, vh)
+        return 1.0 - jnp.abs(hs0) ** 2, jnp.real(-2.0 * jnp.conj(hs0) * grad)
 
-    # NOTE: the target is passed as a traced argument — closing over a
-    # device-resident complex array would make jit embed it as an MLIR
-    # constant, which requires a device->host copy of a complex buffer that
-    # this TPU runtime does not implement.
-    run = jax.jit(
-        lambda x0, tgt: minimize_lbfgs(
-            lambda th: loss(th, tgt), x0, maxiter=MAXITER, fobj_thr=INFIDELITY_TARGET
+    state = {"g": None, "start": None, "reached": None}
+
+    def fun(th):
+        f, g = obj_and_grad(jnp.asarray(th, rdtype), target)
+        f = float(np.asarray(f))
+        state["g"] = np.asarray(g, np.float64)
+        if state["reached"] is None and f <= INFIDELITY_TARGET:
+            state["reached"] = time.perf_counter() - state["start"]
+        return f
+
+    def jac(_th):
+        return state["g"]
+
+    def run_once():
+        state["reached"] = None
+        state["start"] = time.perf_counter()
+        sciopt.minimize(
+            fun,
+            thetas0,
+            jac=jac,
+            method="L-BFGS-B",
+            options={"maxiter": MAXITER, "maxfun": 5 * MAXITER},
         )
-    )
-    run = lambda x0, _run=run: _run(x0, target)  # noqa: E731
-    # Warm-up (compile).
-    res = run(thetas0)
-    res.fobj.block_until_ready()
-    assert float(res.fobj) <= INFIDELITY_TARGET, (
-        f"TPU path failed to reach target: {float(res.fobj)}"
-    )
-    # Timed runs.
-    times = []
-    for _ in range(3):
-        tic = time.perf_counter()
-        res = run(thetas0)
-        res.fobj.block_until_ready()
-        times.append(time.perf_counter() - tic)
-    return float(min(times)), int(res.num_iters), float(res.fobj)
+        total = time.perf_counter() - state["start"]
+        return state["reached"] if state["reached"] is not None else total
+
+    run_once()  # warm-up: compiles obj_and_grad
+    assert state["reached"] is not None, "TPU path failed to reach the target"
+    times = [run_once() for _ in range(3)]
+    final_f = float(np.asarray(obj_and_grad(jnp.asarray(thetas0, rdtype), target)[0]))
+    return float(min(times)), MAXITER, final_f
 
 
 def bench_cpu_baseline(time_cap: float = 300.0) -> float:
