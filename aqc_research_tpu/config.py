@@ -26,6 +26,20 @@ _PRECISION = os.environ.get("AQC_TPU_PRECISION", "high")
 # must be OFF so Python scalar literals cannot promote intermediates to c128.
 jax.config.update("jax_enable_x64", _PRECISION == "high")
 
+# Persistent compilation cache: TPU compiles (especially through a
+# remote-compile tunnel) can take minutes per program; the cache amortizes
+# them across processes/sessions.  Override with JAX_COMPILATION_CACHE_DIR.
+_CACHE_DIR = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass
+
 
 def set_precision(mode: str) -> None:
     """Sets the global precision mode: ``"high"`` (f64/c128) or ``"fast"`` (f32/c64).

@@ -1,0 +1,82 @@
+"""Tests of the fully-jitted ASP optimization path."""
+
+import numpy as np
+import pytest
+
+import aqc_research_tpu.targets.trotter as trotop
+from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+from aqc_research_tpu.models.sp_lhs.jit_asp import (
+    flip_state_indices,
+    make_surrogate_loss,
+    optimize_horizon_jit,
+)
+
+
+def _setup(n=4, layers=1, evol_time=0.8):
+    ini = trotop.neel_init_state(n)
+    target = np.asarray(
+        trotop.Trotter(
+            num_qubits=n,
+            evol_time=evol_time,
+            num_steps=20,
+            delta=1.0,
+            second_order=True,
+        ).as_vector(ini)
+    )
+    circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, layers), True)
+    thetas0 = trotop.init_ansatz_to_trotter(
+        circ, np.zeros(circ.num_thetas), evol_time=evol_time, delta=1.0
+    )
+    idx = flip_state_indices(n, ini)
+    return circ, thetas0, target, idx
+
+
+class TestJitAsp:
+    def test_flip_state_indices(self):
+        idx = flip_state_indices(4, trotop.neel_init_state(4))
+        neel = 0b0101
+        assert idx[0] == neel
+        assert list(idx[1:]) == [neel ^ 1, neel ^ 2, neel ^ 4, neel ^ 8]
+        with pytest.raises(ValueError):
+            flip_state_indices(4, trotop.Trotter(
+                num_qubits=4, evol_time=1.0, num_steps=1, delta=1.0,
+                second_order=False,
+            ).as_program())
+
+    def test_loss_matches_host_objective(self):
+        """weight=0 loss == 1 - fidelity of the host sur_max objective."""
+        from aqc_research_tpu.models.sp_lhs.sur_max import SpSurrogateObjectiveMax
+
+        circ, thetas0, target, idx = _setup()
+        loss = make_surrogate_loss(circ, idx, weight=0.0)
+        f_jit = float(loss(thetas0, target))
+
+        params = {
+            "num_qubits": circ.num_qubits,
+            "max_flips": 1,
+            "maxiter": 10,
+            "verbose": False,
+            "enable_optim_stats": False,
+            "num_simulations": 1,
+            "state_prep_func": trotop.neel_init_state,
+        }
+        objv = SpSurrogateObjectiveMax(user_parameters=params, circ=circ)
+        objv.set_target(target)
+        objv.objective(thetas0)
+        assert abs(f_jit - (1.0 - objv.fidelity)) < 1e-12
+
+    def test_optimize_horizon(self):
+        circ, thetas0, target, idx = _setup()
+        res = optimize_horizon_jit(
+            circ,
+            thetas0,
+            target,
+            state_idx=idx,
+            fidelity_thr=0.9999,
+            maxiter=100,
+        )
+        loss0 = float(make_surrogate_loss(circ, idx)(thetas0, target))
+        assert float(res.fobj) <= loss0
+        assert float(res.fidelity) > 0.9999
+        assert bool(res.converged)
