@@ -26,6 +26,11 @@ _PRECISION = os.environ.get("AQC_TPU_PRECISION", "high")
 # must be OFF so Python scalar literals cannot promote intermediates to c128.
 jax.config.update("jax_enable_x64", _PRECISION == "high")
 
+# On TPU the default matmul precision truncates f32 operands to bf16 on the
+# MXU; per-gate bf16 error compounds over deep circuits into O(0.1)
+# infidelity errors.  Quantum simulation needs true-f32 contractions.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: TPU compiles (especially through a
 # remote-compile tunnel) can take minutes per program; the cache amortizes
 # them across processes/sessions.  Override with JAX_COMPILATION_CACHE_DIR.

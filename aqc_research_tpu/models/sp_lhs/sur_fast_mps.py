@@ -58,6 +58,22 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
         self._hs = np.zeros(self._num_states, dtype=np.complex128)
         self._max_no = 0
 
+        # Fast path for X-layer (product) state preps: all n+1 flip-state
+        # Hilbert-Schmidt products come from ONE O(n chi^2) amplitude sweep
+        # (ops/mps.py::mps_flip_amplitudes) instead of n+1 transfer-matrix
+        # dots.  General preps fall back to per-state MPS dots.
+        self._base_bits = None
+        prep = user_parameters.get("state_prep_func", None)
+        if prep is not None:
+            program = prep(circ.num_qubits)
+            if all(g.name == "x" for g in program):
+                bits = [0] * circ.num_qubits
+                for g in program:
+                    bits[g.qubits[0]] ^= 1
+                self._base_bits = tuple(bits)
+        else:
+            self._base_bits = tuple([0] * circ.num_qubits)
+
     def objective(self, thetas: np.ndarray) -> float:
         self._store_latest_thetas(thetas)
         assert mpsop.check_mps(self.target) or isinstance(self.target, mpsop.MPS)
@@ -65,8 +81,14 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
         self._vh_target = mpsop.v_dagger_mul_mps(
             self._circuit, thetas, self.target, trunc_thr=self._trunc_thr
         )
-        for i in range(self.num_states):
-            self._hs[i] = self._state_handler.state_dot_vector(i, self._vh_target)
+        if self._base_bits is not None:
+            amps = np.asarray(
+                mpsop.mps_flip_amplitudes(self._vh_target, self._base_bits)
+            )
+            np.copyto(self._hs, amps)
+        else:
+            for i in range(self.num_states):
+                self._hs[i] = self._state_handler.state_dot_vector(i, self._vh_target)
         np.copyto(self._hs2, np.abs(self._hs) ** 2)
 
         # 1.1x hysteresis on the leading projection (reference :145-152).

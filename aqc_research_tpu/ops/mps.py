@@ -306,6 +306,38 @@ def mps_norm(mps: MPS) -> jax.Array:
     return jnp.sqrt(jnp.real(mps_dot(mps, mps)))
 
 
+@partial(jax.jit, static_argnums=(1,))
+def mps_flip_amplitudes(mps: MPS, base_bits: Tuple[int, ...]) -> jax.Array:
+    """Amplitudes of the base basis state AND all its single-bit flips.
+
+    Returns ``amps`` of length ``n + 1``: ``amps[0] = <base|mps>`` and
+    ``amps[1 + q] = <base ^ (1 << q)|mps>``.  One prefix/suffix sweep of
+    bond vectors — O(n chi^2) for ALL n+1 amplitudes, replacing n+1 full
+    transfer-matrix dots (the local Hilbert-Schmidt products of the ASP
+    surrogate objective, objective_lhs_sur_fast_mps_trotter.py:139-143).
+    """
+    n, chi = mps.num_sites, mps.chi
+    assert len(base_bits) == n
+    a = _folded_tensors(mps)  # (n, 2, chi, chi)
+    dtype = a.dtype
+
+    # Prefix row-vectors: pre[q] = product of sites < q at their base bits.
+    pre = [jnp.zeros(chi, dtype).at[0].set(1.0)]
+    for q in range(n):
+        pre.append(pre[-1] @ a[q, base_bits[q]])
+
+    # Suffix column-vectors: suffix_from[q] = product of sites >= q.
+    suffix_from = [None] * (n + 1)
+    suffix_from[n] = jnp.zeros(chi, dtype).at[0].set(1.0)
+    for q in range(n - 1, -1, -1):
+        suffix_from[q] = a[q, base_bits[q]] @ suffix_from[q + 1]
+
+    amps = [pre[n][0]]  # <base|mps>: full prefix ends at right boundary bond 0
+    for q in range(n):
+        amps.append(pre[q] @ a[q, 1 - base_bits[q]] @ suffix_from[q + 1])
+    return jnp.stack(amps)
+
+
 def mps_to_vector(mps: MPS) -> jax.Array:
     """Dense state vector (exponential — tests only; cf. reference
     mps_to_vector, mps_operations.py:159-189)."""

@@ -159,3 +159,19 @@ class TestAnsatzOnMps:
         vec0 = np.asarray(mpsop.mps_to_vector(mps))
         out = mpsop.v_dagger_mul_mps(circ, thetas, mpsop.v_mul_mps(circ, thetas, mps))
         assert relative_diff(np.asarray(mpsop.mps_to_vector(out)), vec0) < 1e-8
+
+
+class TestFlipAmplitudes:
+    def test_flip_amplitudes_vs_dense(self):
+        """One-sweep flip amplitudes match dense-state gathers."""
+        n = 5
+        rng = np.random.default_rng(31)
+        prog = _rand_program(n, 15, rng)
+        mps = mpsop.mps_from_program(prog, n, chi_max=8)
+        dense = np.asarray(mpsop.mps_to_vector(mps))
+        base_bits = (1, 0, 1, 1, 0)
+        base = sum(b << q for q, b in enumerate(base_bits))
+        amps = np.asarray(mpsop.mps_flip_amplitudes(mps, base_bits))
+        assert abs(amps[0] - dense[base]) < 1e-10
+        for q in range(n):
+            assert abs(amps[1 + q] - dense[base ^ (1 << q)]) < 1e-10
