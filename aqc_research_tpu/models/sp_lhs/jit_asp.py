@@ -75,6 +75,34 @@ class JitHorizonResult(NamedTuple):
     converged: jax.Array
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _optimize_horizon(
+    circ: Ansatz,
+    x0,
+    tgt,
+    state_idx_t: tuple,
+    weight: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+) -> JitHorizonResult:
+    loss = make_surrogate_loss(circ, state_idx_t, weight)
+    idx0 = int(state_idx_t[0])
+    res: JitMinimizeResult = minimize_lbfgs(
+        lambda th: loss(th, tgt),
+        x0,
+        maxiter=maxiter,
+        fobj_thr=fobj_thr,
+        no_improve_iters=no_improve_iters,
+    )
+    vh = v_dagger_mul_vec(circ, res.thetas, tgt)
+    fid = jnp.abs(vh[idx0]) ** 2
+    return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
+
+
 def optimize_horizon_jit(
     circ: Ansatz,
     thetas0,
@@ -90,25 +118,17 @@ def optimize_horizon_jit(
 
     ``fidelity_thr`` maps to the loss threshold ``1 - fidelity_thr`` when
     ``weight == 0`` (the fidelity objective); for ``weight > 0`` it is used
-    as an approximate fobj threshold.
+    as an approximate fobj threshold.  The jitted runner is cached on its
+    static configuration — repeated calls do not retrace.
     """
-    loss = make_surrogate_loss(circ, state_idx, weight)
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
-    idx0 = int(np.asarray(state_idx)[0])
-
-    @jax.jit
-    def run(x0, tgt):
-        res: JitMinimizeResult = minimize_lbfgs(
-            lambda th: loss(th, tgt),
-            x0,
-            maxiter=maxiter,
-            fobj_thr=fobj_thr,
-            no_improve_iters=no_improve_iters,
-        )
-        vh = v_dagger_mul_vec(circ, res.thetas, tgt)
-        fid = jnp.abs(vh[idx0]) ** 2
-        return JitHorizonResult(
-            res.thetas, res.fobj, fid, res.num_iters, res.converged
-        )
-
-    return run(jnp.asarray(thetas0), jnp.asarray(target))
+    return _optimize_horizon(
+        circ,
+        jnp.asarray(thetas0),
+        jnp.asarray(target),
+        tuple(int(i) for i in np.asarray(state_idx)),
+        float(weight),
+        fobj_thr,
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
+    )

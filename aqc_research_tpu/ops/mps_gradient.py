@@ -226,52 +226,97 @@ def _fast_dot_gradient_impl(
     masks = jnp.asarray(mask_np)
 
     half = circ.half_layer_num_blocks if trot else 0
-    grad2q = jnp.zeros((nb, tpb), dtype)
 
-    for i in range(nb + half):
-        k = i % nb
+    def block_step(env_: _EnvTracker, k: int, i_mod3: int, t, mask):
+        """One unit block of the co-sweep; returns the per-parameter dots."""
         ctrl = int(circ.blocks[0, k])
         targ = int(circ.blocks[1, k])
         lo, hi = min(ctrl, targ), max(ctrl, targ)
         assert hi == lo + 1, "MPS gradient expects nearest-neighbour blocks"
-        t = thetas2q[k]
-        mask = masks[k]
 
-        env.prepare(lo, hi)
+        def apply_both(gate, site):
+            env_.w = apply_1q_mps(env_.w, gate, site)
+            env_.z = apply_1q_mps(env_.z, gate, site)
+            env_.mark_modified(site)
 
-        if trot and i % 3 == 0:
-            apply_1q_both(G.rz(-np.pi / 2, dtype), ctrl)
+        env_.prepare(lo, hi)
+        if trot and i_mod3 == 0:
+            apply_both(G.rz(-np.pi / 2, dtype), ctrl)
 
         ent = _entangler_4x4_lo_hi(circ, t, dtype, ctrl, targ)
-        env.z = apply_2q_mps(env.z, ent, lo, trunc_thr=trunc_thr)
+        env_.z = apply_2q_mps(env_.z, ent, lo, trunc_thr=trunc_thr)
         if cp:
             # CP derivative is not unitary-proportional: two-point difference
             # of shifted CP gates (mps_dot_objective.py:186-196).
             ent2 = _entangler_4x4_lo_hi(circ, t, dtype, ctrl, targ, shift=np.pi)
-            w2 = apply_2q_mps(env.w, ent2, lo, trunc_thr=trunc_thr)
-            env.w = apply_2q_mps(env.w, ent, lo, trunc_thr=trunc_thr)
-            env.mark_modified(hi)
-            cp_w_z = env.dot_pair(lo, None, None)
-            cp_w_z2 = env.dot_pair(lo, None, None, w_override=w2)
+            w2 = apply_2q_mps(env_.w, ent2, lo, trunc_thr=trunc_thr)
+            env_.w = apply_2q_mps(env_.w, ent, lo, trunc_thr=trunc_thr)
+            env_.mark_modified(hi)
+            cp_w_z = env_.dot_pair(lo, None, None)
+            cp_w_z2 = env_.dot_pair(lo, None, None, w_override=w2)
             d4 = mask * (-0.5j) * (cp_w_z - cp_w_z2)
         else:
-            env.w = apply_2q_mps(env.w, ent, lo, trunc_thr=trunc_thr)
-            env.mark_modified(hi)
+            env_.w = apply_2q_mps(env_.w, ent, lo, trunc_thr=trunc_thr)
+            env_.mark_modified(hi)
 
-        apply_1q_both(G.ry(t[0], dtype), ctrl)
-        d0 = mask * 0.5j * env.dot_pair(lo, ctrl, y_mat)
-        apply_1q_both(G.rz(t[1], dtype), ctrl)
-        d1 = mask * 0.5j * env.dot_pair(lo, ctrl, z_pauli)
-        apply_1q_both(G.ry(t[2], dtype), targ)
-        d2 = mask * 0.5j * env.dot_pair(lo, targ, y_mat)
-        apply_1q_both(rs_fn(t[3], dtype), targ)
-        d3 = mask * 0.5j * env.dot_pair(lo, targ, s_mat)
+        apply_both(G.ry(t[0], dtype), ctrl)
+        d0 = mask * 0.5j * env_.dot_pair(lo, ctrl, y_mat)
+        apply_both(G.rz(t[1], dtype), ctrl)
+        d1 = mask * 0.5j * env_.dot_pair(lo, ctrl, z_pauli)
+        apply_both(G.ry(t[2], dtype), targ)
+        d2 = mask * 0.5j * env_.dot_pair(lo, targ, y_mat)
+        apply_both(rs_fn(t[3], dtype), targ)
+        d3 = mask * 0.5j * env_.dot_pair(lo, targ, s_mat)
 
-        if trot and i % 3 == 2:
-            apply_1q_both(G.rz(np.pi / 2, dtype), targ)
+        if trot and i_mod3 == 2:
+            apply_both(G.rz(np.pi / 2, dtype), targ)
+        return jnp.stack([d0, d1, d2, d3] + ([d4] if cp else []))
 
-        dots = [d0, d1, d2, d3] + ([d4] if cp else [])
-        grad2q = grad2q.at[k].add(jnp.stack(dots))
+    # Layered (Trotter) structures scan over full layers — compile time stays
+    # O(blocks-per-layer) instead of O(depth).  Environment caching resets at
+    # each half-layer anyway, so there is no cross-layer carry beyond (w, z).
+    bpl = circ.bpl if trot else 0
+    use_scan = trot and nb > 0 and bpl > 0 and nb % bpl == 0 and nb // bpl >= 2
+
+    if use_scan:
+        layers = nb // bpl
+        th_layers = thetas2q.reshape(layers, bpl, tpb)
+        m_layers = masks.reshape(layers, bpl)
+        layer_pattern_ok = all(
+            circ.blocks[0, k] == circ.blocks[0, k % bpl]
+            and circ.blocks[1, k] == circ.blocks[1, k % bpl]
+            for k in range(nb)
+        )
+        use_scan = layer_pattern_ok
+
+    if use_scan:
+
+        def layer_body(carry, xs):
+            w_, z_ = carry
+            th_l, m_l = xs
+            env_ = _EnvTracker(w_, z_)
+            dots = [
+                block_step(env_, k, k % 3, th_l[k], m_l[k]) for k in range(bpl)
+            ]
+            return (env_.w, env_.z), jnp.stack(dots)
+
+        (w, z), scanned = jax.lax.scan(
+            layer_body, (env.w, env.z), (th_layers, m_layers)
+        )
+        grad2q = scanned.reshape(nb, tpb)
+        env = _EnvTracker(w, z)
+    else:
+        grad2q = jnp.zeros((nb, tpb), dtype)
+        for i in range(nb):
+            dots = block_step(env, i, i % 3, thetas2q[i], masks[i])
+            grad2q = grad2q.at[i].add(dots)
+
+    # 2nd-order Trotter trailing half-layer: accumulates into rows [0:half).
+    if half:
+        half_dots = []
+        for k in range(half):
+            half_dots.append(block_step(env, k, k % 3, thetas2q[k], masks[k]))
+        grad2q = grad2q.at[:half].add(jnp.stack(half_dots))
 
     return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
 

@@ -27,7 +27,9 @@ import numpy as np
 INFIDELITY_TARGET = 1e-3
 NUM_QUBITS = 12
 NUM_LAYERS = 2
-MAXITER = 200
+MAXITER = 300
+PERTURBATION = 0.2  # rad; takes the perfect init to infidelity ~0.98
+SEED = 12345
 
 
 def _setup(dtype):
@@ -38,7 +40,15 @@ def _setup(dtype):
 
     # Build-time dtype must match: this TPU generation has no c128 support.
     set_precision("fast" if dtype == jnp.complex64 else "high")
-    return ge._flagship(NUM_QUBITS, NUM_LAYERS, dtype)
+    circ, thetas0, target, state_idx = ge._flagship(NUM_QUBITS, NUM_LAYERS, dtype)
+    # Perturb the perfect initialization so the benchmark measures a real
+    # optimization (~90 L-BFGS iterations from infidelity ~0.98), not the
+    # trivial few-step polish the perfect init would need.
+    rng = np.random.default_rng(SEED)
+    thetas0 = np.asarray(thetas0) + PERTURBATION * rng.standard_normal(
+        thetas0.shape
+    )
+    return circ, thetas0, target, state_idx
 
 
 def bench_tpu():
