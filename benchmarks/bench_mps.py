@@ -1,0 +1,95 @@
+"""Secondary benchmark: MPS fast-gradient sweeps/sec (BASELINE.md config 3/5).
+
+Measures the steady-state rate of full analytic co-sweep gradients (objective
+``<0...|V† |phi>``) on a Trotterized ansatz in MPS form — the workload whose
+reference implementation pays one full Aer C++ re-simulation per gate
+(SURVEY.md §3.4).
+
+Usage:  python benchmarks/bench_mps.py [num_qubits] [chi] [layers]
+Prints one JSON line with sweeps/sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
+    import jax.numpy as jnp
+
+    from aqc_research_tpu.config import is_tpu, set_precision
+
+    set_precision("fast" if is_tpu() else "high")
+
+    import aqc_research_tpu.targets.trotter as trotop
+    from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+    from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+    from aqc_research_tpu.ops import mps as mpsop
+    from aqc_research_tpu.ops.mps_gradient import fast_dot_gradient
+
+    evol_time, delta = 1.2, 1.0
+    circ = TrotterAnsatz.make(
+        num_qubits, make_trotter_like_circuit(num_qubits, layers), True
+    )
+    thetas = trotop.init_ansatz_to_trotter(
+        circ, np.zeros(circ.num_thetas), evol_time=evol_time, delta=delta
+    )
+    thetas = jnp.asarray(thetas)
+
+    ini = trotop.neel_init_state(num_qubits)
+    trunc_thr = 1e-6
+    target = trotop.Trotter(
+        num_qubits=num_qubits,
+        evol_time=evol_time,
+        num_steps=3,
+        delta=delta,
+        second_order=True,
+    ).as_mps(ini, trunc_thr=trunc_thr, chi_max=chi)
+
+    lvec = mpsop.mps_from_program(ini, num_qubits, chi_max=chi)
+
+    tic = time.perf_counter()
+    vh = mpsop.v_dagger_mul_mps(circ, thetas, target, trunc_thr=trunc_thr)
+    g = fast_dot_gradient(circ, thetas, lvec, vh, trunc_thr=trunc_thr)
+    g.block_until_ready()
+    compile_s = time.perf_counter() - tic
+
+    repeats = 5
+    tic = time.perf_counter()
+    for _ in range(repeats):
+        vh = mpsop.v_dagger_mul_mps(circ, thetas, target, trunc_thr=trunc_thr)
+        g = fast_dot_gradient(circ, thetas, lvec, vh, trunc_thr=trunc_thr)
+    g.block_until_ready()
+    per_sweep = (time.perf_counter() - tic) / repeats
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"MPS objective+gradient sweeps/sec, {num_qubits}q chi={chi} "
+                    f"{layers}-layer Trotter ansatz (trunc 1e-6)"
+                ),
+                "value": round(1.0 / per_sweep, 4),
+                "unit": "sweeps/s",
+                "compile_s": round(compile_s, 1),
+                "num_thetas": circ.num_thetas,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    if "--cpu" in argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        argv.remove("--cpu")
+    main(*[int(a) for a in argv[:3]])
