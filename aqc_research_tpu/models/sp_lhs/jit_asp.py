@@ -26,7 +26,11 @@ import numpy as np
 
 from ...circuit.ansatz import Ansatz
 from ...ops.statevector import v_dagger_mul_vec
-from ...optim.lbfgs import JitMinimizeResult, minimize_lbfgs
+from ...optim.lbfgs import (
+    JitMinimizeResult,
+    minimize_lbfgs,
+    minimize_lbfgs_compact,
+)
 
 
 def flip_state_indices(
@@ -78,7 +82,7 @@ class JitHorizonResult(NamedTuple):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
 def _optimize_horizon(
     circ: Ansatz,
     x0,
@@ -88,10 +92,12 @@ def _optimize_horizon(
     fobj_thr,
     maxiter: int,
     no_improve_iters,
+    solver: str,
 ) -> JitHorizonResult:
     loss = make_surrogate_loss(circ, state_idx_t, weight)
     idx0 = int(state_idx_t[0])
-    res: JitMinimizeResult = minimize_lbfgs(
+    minimize = minimize_lbfgs_compact if solver == "compact" else minimize_lbfgs
+    res: JitMinimizeResult = minimize(
         lambda th: loss(th, tgt),
         x0,
         maxiter=maxiter,
@@ -113,6 +119,7 @@ def optimize_horizon_jit(
     fidelity_thr: Optional[float] = None,
     maxiter: int = 100,
     no_improve_iters: Optional[int] = None,
+    solver: str = "compact",
 ) -> JitHorizonResult:
     """Optimizes one ASP horizon entirely on device.
 
@@ -120,6 +127,10 @@ def optimize_horizon_jit(
     ``weight == 0`` (the fidelity objective); for ``weight > 0`` it is used
     as an approximate fobj threshold.  The jitted runner is cached on its
     static configuration — repeated calls do not retrace.
+
+    ``solver``: "compact" (two-loop L-BFGS + Armijo backtracking; small XLA
+    program — some TPU toolchains compile optax's zoom linesearch for tens
+    of minutes) or "zoom" (optax L-BFGS with zoom linesearch).
     """
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
     return _optimize_horizon(
@@ -131,4 +142,5 @@ def optimize_horizon_jit(
         fobj_thr,
         int(maxiter),
         None if no_improve_iters is None else int(no_improve_iters),
+        solver,
     )

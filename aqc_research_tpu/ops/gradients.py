@@ -63,8 +63,7 @@ def _entangler_4x4(circ: Ansatz, tht, dtype):
 
 def _block_cosweep_step(
     circ: Ansatz,
-    w,
-    z,
+    wz,
     tht,
     mask,
     ctrl: int,
@@ -73,82 +72,66 @@ def _block_cosweep_step(
     frame_end: bool,
     tail: int,
 ):
-    """One unit-block step of the co-sweep; returns (w, z, dots[tpb]).
+    """One unit-block step of the co-sweep; returns (wz, dots[tpb]).
+
+    ``wz`` stacks the two carried states (w, z) along a leading axis so every
+    gate applies to both in ONE pass over memory (they undergo identical
+    gates) — halving the gate-op count vs the reference's separate sweeps.
 
     Gate order matches reference core_operations.py:962-1017: optional
     Rz(-pi/2) framing, entangler (+ CP derivative), Ry/Rz on control,
     Ry/Rs on target, optional Rz(pi/2) framing.
     """
-    dtype = w.dtype
+    dtype = wz.dtype
     cp = circ.entangler == "cp"
     rs = G.rx if circ.entangler == "cx" else G.rz
     s_char = "x" if circ.entangler == "cx" else "z"
 
     if frame_start:
-        rzm = G.rz(-np.pi / 2, dtype)
-        w = apply_1q(w, rzm, ctrl, tail)
-        z = apply_1q(z, rzm, ctrl, tail)
+        wz = apply_1q(wz, G.rz(-np.pi / 2, dtype), ctrl, tail)
 
     ent = _entangler_4x4(circ, tht, dtype)
-    z = apply_2q(z, ent, ctrl, targ, tail)
     if cp:
-        dw = apply_2q(w, _cp_derv_4x4(tht[4], dtype), ctrl, targ, tail)
-        d4 = mask * jnp.vdot(dw, z)
-    w = apply_2q(w, ent, ctrl, targ, tail)
+        z_new = apply_2q(wz[1], ent, ctrl, targ, tail)
+        dw = apply_2q(wz[0], _cp_derv_4x4(tht[4], dtype), ctrl, targ, tail)
+        d4 = mask * jnp.vdot(dw, z_new)
+        w_new = apply_2q(wz[0], ent, ctrl, targ, tail)
+        wz = jnp.stack([w_new, z_new])
+    else:
+        wz = apply_2q(wz, ent, ctrl, targ, tail)
 
-    g = G.ry(tht[0], dtype)
-    w = apply_1q(w, g, ctrl, tail)
-    z = apply_1q(z, g, ctrl, tail)
-    d0 = mask * pauli_dot(w, z, "y", ctrl, tail)
-
-    g = G.rz(tht[1], dtype)
-    w = apply_1q(w, g, ctrl, tail)
-    z = apply_1q(z, g, ctrl, tail)
-    d1 = mask * pauli_dot(w, z, "z", ctrl, tail)
-
-    g = G.ry(tht[2], dtype)
-    w = apply_1q(w, g, targ, tail)
-    z = apply_1q(z, g, targ, tail)
-    d2 = mask * pauli_dot(w, z, "y", targ, tail)
-
-    g = rs(tht[3], dtype)
-    w = apply_1q(w, g, targ, tail)
-    z = apply_1q(z, g, targ, tail)
-    d3 = mask * pauli_dot(w, z, s_char, targ, tail)
+    wz = apply_1q(wz, G.ry(tht[0], dtype), ctrl, tail)
+    d0 = mask * pauli_dot(wz[0], wz[1], "y", ctrl, tail)
+    wz = apply_1q(wz, G.rz(tht[1], dtype), ctrl, tail)
+    d1 = mask * pauli_dot(wz[0], wz[1], "z", ctrl, tail)
+    wz = apply_1q(wz, G.ry(tht[2], dtype), targ, tail)
+    d2 = mask * pauli_dot(wz[0], wz[1], "y", targ, tail)
+    wz = apply_1q(wz, rs(tht[3], dtype), targ, tail)
+    d3 = mask * pauli_dot(wz[0], wz[1], s_char, targ, tail)
 
     if frame_end:
-        rzp = G.rz(np.pi / 2, dtype)
-        w = apply_1q(w, rzp, targ, tail)
-        z = apply_1q(z, rzp, targ, tail)
+        wz = apply_1q(wz, G.rz(np.pi / 2, dtype), targ, tail)
 
     dots = [d0, d1, d2, d3] + ([d4] if cp else [])
-    return w, z, jnp.stack(dots)
+    return wz, jnp.stack(dots)
 
 
-def _front_cosweep(circ: Ansatz, w, z, thetas1q, front_layer: bool, tail: int):
+def _front_cosweep(circ: Ansatz, wz, thetas1q, front_layer: bool, tail: int):
     """Front Rz·Ry·Rz layer of the co-sweep (core_operations.py:918-949)."""
-    dtype = w.dtype
+    dtype = wz.dtype
     n = circ.num_qubits
     grads = []
     zero = jnp.zeros((), dtype)
     for q in range(n):
         t = thetas1q[q]
-        g = G.rz(t[2], dtype)
-        w = apply_1q(w, g, q, tail)
-        z = apply_1q(z, g, q, tail)
-        d2 = pauli_dot(w, z, "z", q, tail) if front_layer else zero
-
-        g = G.ry(t[1], dtype)
-        w = apply_1q(w, g, q, tail)
-        z = apply_1q(z, g, q, tail)
-        d1 = pauli_dot(w, z, "y", q, tail) if front_layer else zero
-
-        g = G.rz(t[0], dtype)
-        w = apply_1q(w, g, q, tail)
-        z = apply_1q(z, g, q, tail)
-        d0 = pauli_dot(w, z, "z", q, tail) if front_layer else zero
+        wz = apply_1q(wz, G.rz(t[2], dtype), q, tail)
+        d2 = pauli_dot(wz[0], wz[1], "z", q, tail) if front_layer else zero
+        wz = apply_1q(wz, G.ry(t[1], dtype), q, tail)
+        d1 = pauli_dot(wz[0], wz[1], "y", q, tail) if front_layer else zero
+        wz = apply_1q(wz, G.rz(t[0], dtype), q, tail)
+        d0 = pauli_dot(wz[0], wz[1], "z", q, tail) if front_layer else zero
         grads.append(jnp.stack([d0, d1, d2]))
-    return w, z, jnp.stack(grads)  # (n, 3)
+    return wz, jnp.stack(grads)  # (n, 3)
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5, 6))
@@ -170,8 +153,8 @@ def _dot_product_gradient(
     thetas1q = circ.subset1q(thetas)
     thetas2q = circ.subset2q(thetas)
 
-    w, z = x, vh_y
-    w, z, grad1q = _front_cosweep(circ, w, z, thetas1q, front_layer, tail)
+    wz = jnp.stack([x, vh_y])
+    wz, grad1q = _front_cosweep(circ, wz, thetas1q, front_layer, tail)
 
     # Per-block inside-range mask (static numpy -> constant folded).
     mask_np = np.zeros(nb)
@@ -181,12 +164,11 @@ def _dot_product_gradient(
     pattern = [(int(circ.blocks[0, k]), int(circ.blocks[1, k])) for k in range(nb)]
     trot = circ.is_trotterized
 
-    def step(k_local, w, z, tht, mask):
+    def step(k_local, wz_, tht, mask):
         c, t = pattern[k_local]
         return _block_cosweep_step(
             circ,
-            w,
-            z,
+            wz_,
             tht,
             mask,
             c,
@@ -205,34 +187,22 @@ def _dot_product_gradient(
             th_chunks = thetas2q[: reps * p].reshape(reps, p, tpb)
             m_chunks = masks[: reps * p].reshape(reps, p)
 
-            def body(carry, xs):
-                w_, z_ = carry
+            def body(wz_, xs):
                 th_, m_ = xs
                 dots = []
                 for k in range(p):
-                    w_, z_, d = _block_cosweep_step(
-                        circ,
-                        w_,
-                        z_,
-                        th_[k],
-                        m_[k],
-                        pattern[k][0],
-                        pattern[k][1],
-                        trot and (k % 3 == 0),
-                        trot and (k % 3 == 2),
-                        tail,
-                    )
+                    wz_, d = step(k, wz_, th_[k], m_[k])
                     dots.append(d)
-                return (w_, z_), jnp.stack(dots)
+                return wz_, jnp.stack(dots)
 
-            (w, z), scanned = jax.lax.scan(body, (w, z), (th_chunks, m_chunks))
+            wz, scanned = jax.lax.scan(body, wz, (th_chunks, m_chunks))
             grad_chunks.append(scanned.reshape(reps * p, tpb))
             done = reps * p
         else:
             done = 0
         rem_dots = []
         for k in range(done, nb):
-            w, z, d = step(k, w, z, thetas2q[k], masks[k])
+            wz, d = step(k, wz, thetas2q[k], masks[k])
             rem_dots.append(d)
         if rem_dots:
             grad_chunks.append(jnp.stack(rem_dots))
@@ -249,7 +219,7 @@ def _dot_product_gradient(
     if half:
         half_dots = []
         for k in range(half):
-            w, z, d = step(k, w, z, thetas2q[k], masks[k])
+            wz, d = step(k, wz, thetas2q[k], masks[k])
             half_dots.append(d)
         grad2q = grad2q.at[:half].add(jnp.stack(half_dots))
 

@@ -100,6 +100,148 @@ def minimize_lbfgs(
     return JitMinimizeResult(best_x, best_f, it, stop, params)
 
 
+def minimize_lbfgs_compact(
+    fun: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    *,
+    maxiter: int,
+    fobj_thr: Optional[float] = None,
+    no_improve_iters: Optional[int] = None,
+    memory_size: int = 10,
+    max_backtracks: int = 20,
+    c1: float = 1e-4,
+) -> JitMinimizeResult:
+    """Compact jitted L-BFGS: two-loop recursion + Armijo backtracking.
+
+    Functionally a lighter sibling of :func:`minimize_lbfgs` (optax + zoom
+    linesearch).  The zoom machinery compiles to a large nest of while loops
+    that some TPU toolchains (remote-compile AOT) take tens of minutes to
+    compile; this variant keeps the program small — one fori over the
+    history, one fori over backtracking steps — at the cost of a slightly
+    weaker linesearch.  Same stopping semantics and best-so-far carry.
+    """
+    m = int(memory_size)
+    n = x0.shape[0]
+    vgrad = jax.value_and_grad(fun)
+    fobj_thr_v = -jnp.inf if fobj_thr is None else fobj_thr
+    no_imp = maxiter + 1 if no_improve_iters is None else int(no_improve_iters)
+    dtype = x0.dtype
+
+    def two_loop(grad, s_hist, y_hist, rho_hist, hist_len):
+        """Two-loop recursion: H . grad with the stored (s, y) pairs."""
+        def bwd(i, carry):
+            q, alphas = carry
+            idx = jnp.mod(hist_len - 1 - i, m)
+            valid = i < hist_len
+            alpha = jnp.where(valid, rho_hist[idx] * jnp.dot(s_hist[idx], q), 0.0)
+            q = q - alpha * y_hist[idx] * jnp.where(valid, 1.0, 0.0)
+            return q, alphas.at[idx].set(alpha)
+
+        q, alphas = jax.lax.fori_loop(
+            0, m, bwd, (grad, jnp.zeros((m,), dtype))
+        )
+        # Initial Hessian scale gamma = s.y / y.y of the newest pair.
+        newest = jnp.mod(hist_len - 1, m)
+        ys = jnp.dot(s_hist[newest], y_hist[newest])
+        yy = jnp.dot(y_hist[newest], y_hist[newest])
+        gamma = jnp.where(
+            jnp.logical_and(hist_len > 0, yy > 0), ys / jnp.maximum(yy, 1e-30), 1.0
+        )
+        r = gamma * q
+
+        def fwd(i, r_):
+            idx = jnp.mod(hist_len - m + i, m)
+            valid = i >= (m - hist_len)
+            beta = jnp.where(valid, rho_hist[idx] * jnp.dot(y_hist[idx], r_), 0.0)
+            return r_ + (alphas[idx] - beta) * s_hist[idx] * jnp.where(valid, 1.0, 0.0)
+
+        return jax.lax.fori_loop(0, m, fwd, r)
+
+    def backtrack(x, f, grad, direction):
+        """Armijo backtracking along ``direction`` (a descent direction)."""
+        slope = jnp.dot(grad, direction)
+
+        def eval_at(step):
+            f_new = fun(x + step * direction)
+            ok = f_new <= f + c1 * step * slope
+            return f_new, ok
+
+        def bt_cond(carry):
+            _step, _f, ok, it = carry
+            return jnp.logical_and(jnp.logical_not(ok), it < max_backtracks)
+
+        def bt_body(carry):
+            step, _f, _ok, it = carry
+            new_step = step * 0.5
+            f_new, ok = eval_at(new_step)
+            return new_step, f_new, ok, it + 1
+
+        f1, ok1 = eval_at(jnp.asarray(1.0, dtype))
+        step, f_new, ok, _ = jax.lax.while_loop(
+            bt_cond, bt_body, (jnp.asarray(1.0, dtype), f1, ok1, jnp.asarray(0))
+        )
+        return step, f_new, ok
+
+    def cond(carry):
+        it, stop = carry[0], carry[1]
+        return jnp.logical_and(it < maxiter, jnp.logical_not(stop))
+
+    def body(carry):
+        (it, _, x, f, grad, s_hist, y_hist, rho_hist, hist_len,
+         best_f, best_x, since_best) = carry
+        direction = -two_loop(grad, s_hist, y_hist, rho_hist, hist_len)
+        # Fall back to steepest descent when the direction is not descent.
+        descent = jnp.dot(grad, direction) < 0
+        direction = jnp.where(descent, direction, -grad)
+
+        step, f_new, ok = backtrack(x, f, grad, direction)
+        x_new = x + step * direction
+        _, g_new = vgrad(x_new)
+
+        s = x_new - x
+        y = g_new - grad
+        sy = jnp.dot(s, y)
+        slot = jnp.mod(hist_len, m)
+        accept = sy > 1e-10
+        s_hist = jnp.where(accept, s_hist.at[slot].set(s), s_hist)
+        y_hist = jnp.where(accept, y_hist.at[slot].set(y), y_hist)
+        rho_hist = jnp.where(
+            accept, rho_hist.at[slot].set(1.0 / jnp.maximum(sy, 1e-30)), rho_hist
+        )
+        hist_len = jnp.where(accept, hist_len + 1, hist_len)
+
+        improved = f_new < best_f
+        best_f = jnp.where(improved, f_new, best_f)
+        best_x = jnp.where(improved, x_new, best_x)
+        since_best = jnp.where(improved, 0, since_best + 1)
+        stop = jnp.logical_or(
+            f_new < fobj_thr_v,
+            jnp.logical_or(since_best > no_imp, jnp.logical_not(ok)),
+        )
+        return (it + 1, stop, x_new, f_new, g_new, s_hist, y_hist, rho_hist,
+                hist_len, best_f, best_x, since_best)
+
+    x0 = jnp.asarray(x0)
+    f0, g0 = vgrad(x0)
+    carry = (
+        jnp.asarray(0),
+        f0 < fobj_thr_v,
+        x0,
+        f0,
+        g0,
+        jnp.zeros((m, n), dtype),
+        jnp.zeros((m, n), dtype),
+        jnp.zeros((m,), dtype),
+        jnp.asarray(0),
+        f0,
+        x0,
+        jnp.asarray(0),
+    )
+    out = jax.lax.while_loop(cond, body, carry)
+    (it, stop, x_last, _, _, _, _, _, _, best_f, best_x, _) = out
+    return JitMinimizeResult(best_x, best_f, it, stop, x_last)
+
+
 def minimize_adam(
     fun: Callable[[jax.Array], jax.Array],
     x0: jax.Array,
