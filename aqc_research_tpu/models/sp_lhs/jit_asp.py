@@ -109,6 +109,56 @@ def _optimize_horizon(
     return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
 
 
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+def _optimize_horizon_batch(
+    circ: Ansatz,
+    x0_batch,
+    tgt,
+    state_idx_t: tuple,
+    weight: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+    solver: str,
+) -> JitHorizonResult:
+    return jax.vmap(
+        lambda x0: _optimize_horizon(
+            circ, x0, tgt, state_idx_t, weight, fobj_thr, maxiter,
+            no_improve_iters, solver,
+        )
+    )(x0_batch)
+
+
+def optimize_horizon_multistart(
+    circ: Ansatz,
+    thetas0_batch,
+    target,
+    *,
+    state_idx: Sequence[int],
+    weight: float = 0.0,
+    fidelity_thr: Optional[float] = None,
+    maxiter: int = 100,
+    no_improve_iters: Optional[int] = None,
+    solver: str = "compact",
+) -> JitHorizonResult:
+    """Multi-start ASP horizon optimization: one batched XLA program runs B
+    L-BFGS instances in lock-step (BASELINE.md config 4 — the vmap
+    replacement of the reference's joblib fan-out).  Returns batched results;
+    pick ``argmin(res.fobj)`` for the winner."""
+    fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
+    return _optimize_horizon_batch(
+        circ,
+        jnp.asarray(thetas0_batch),
+        jnp.asarray(target),
+        tuple(int(i) for i in np.asarray(state_idx)),
+        float(weight),
+        fobj_thr,
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
+        solver,
+    )
+
+
 def optimize_horizon_jit(
     circ: Ansatz,
     thetas0,

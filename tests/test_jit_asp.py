@@ -80,3 +80,22 @@ class TestJitAsp:
         assert float(res.fobj) <= loss0
         assert float(res.fidelity) > 0.9999
         assert bool(res.converged)
+
+    def test_multistart_horizon(self):
+        """BASELINE config 4: vmap multi-start over random initial points."""
+        import jax
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            optimize_horizon_multistart,
+        )
+        from aqc_research_tpu.parallel.multistart import random_initial_thetas
+
+        circ, thetas0, target, idx = _setup(n=3, layers=1, evol_time=0.6)
+        batch = np.stack(
+            [thetas0 + 0.2 * np.random.randn(thetas0.size) for _ in range(4)]
+        )
+        res = optimize_horizon_multistart(
+            circ, batch, target, state_idx=idx, fidelity_thr=0.999, maxiter=60
+        )
+        assert res.fobj.shape == (4,)
+        best = int(np.argmin(np.asarray(res.fobj)))
+        assert float(res.fidelity[best]) > 0.999
