@@ -432,6 +432,7 @@ def v_dagger_mul_mps(circ, thetas, mps: MPS, *, trunc_thr: Optional[float] = Non
     return _v_mul_mps_impl(circ, jnp.asarray(thetas), mps, True, trunc_thr)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4))
 def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
     from .statevector import block_gates, front_gates
 
@@ -439,26 +440,76 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
     dtype = mps.gammas.dtype
     f1q = front_gates(circ, circ.subset1q(thetas), dtype, dagger=dagger)
     gates = block_gates(circ, circ.subset2q(thetas), dtype, dagger=dagger)
+    nb = circ.num_blocks
     half = circ.half_layer_num_blocks if circ.is_trotterized else 0
 
-    def apply_block(mps_, k):
+    def block_gate_lo(g4, k):
+        """Gate k reordered into (lo, hi) site order; returns (gate, lo)."""
         ctrl, targ = int(circ.blocks[0, k]), int(circ.blocks[1, k])
         lo = min(ctrl, targ)
         assert abs(ctrl - targ) == 1, "MPS path expects nearest-neighbour blocks"
-        g = gates[k].reshape(2, 2, 2, 2)
+        g = g4.reshape(2, 2, 2, 2)
         if ctrl > targ:  # (ctrl,targ)=(hi,lo) -> (lo,hi) order
             g = jnp.transpose(g, (1, 0, 3, 2))
-        return apply_2q_mps(mps_, g.reshape(4, 4), lo, trunc_thr=thr)
+        return g.reshape(4, 4), lo
 
-    order_blocks = list(range(circ.num_blocks)) + list(range(half))
+    def apply_block(mps_, k, g4):
+        g, lo = block_gate_lo(g4, k)
+        return apply_2q_mps(mps_, g, lo, trunc_thr=thr)
+
+    # Layered (Trotter) structures scan over layers: compile stays
+    # O(blocks-per-layer) instead of O(depth).
+    bpl = circ.bpl if circ.is_trotterized else 0
+    use_scan = (
+        circ.is_trotterized
+        and nb > 0
+        and bpl > 0
+        and nb % bpl == 0
+        and nb // bpl >= 2
+        and all(
+            circ.blocks[0, k] == circ.blocks[0, k % bpl]
+            and circ.blocks[1, k] == circ.blocks[1, k % bpl]
+            for k in range(nb)
+        )
+    )
+
+    def apply_main(mps_):
+        if use_scan:
+            layers = nb // bpl
+            g_layers = gates[: layers * bpl].reshape(layers, bpl, 4, 4)
+            order = list(range(bpl))
+            if dagger:
+                order = order[::-1]
+                g_layers = g_layers[::-1]
+
+            def body(m_, g_l):
+                for k in order:
+                    m_ = apply_block(m_, k, g_l[k])
+                return m_, None
+
+            mps_, _ = jax.lax.scan(body, mps_, g_layers)
+            return mps_
+        order = range(nb - 1, -1, -1) if dagger else range(nb)
+        for k in order:
+            mps_ = apply_block(mps_, k, gates[k])
+        return mps_
+
+    def apply_half(mps_):
+        order = range(half - 1, -1, -1) if dagger else range(half)
+        for k in order:
+            mps_ = apply_block(mps_, k, gates[k])
+        return mps_
+
     if dagger:
-        for k in reversed(order_blocks):
-            mps = apply_block(mps, k)
+        if half:
+            mps = apply_half(mps)
+        mps = apply_main(mps)
         for q in range(circ.num_qubits):
             mps = apply_1q_mps(mps, f1q[q], q)
     else:
         for q in range(circ.num_qubits):
             mps = apply_1q_mps(mps, f1q[q], q)
-        for k in order_blocks:
-            mps = apply_block(mps, k)
+        mps = apply_main(mps)
+        if half:
+            mps = apply_half(mps)
     return mps
