@@ -145,7 +145,7 @@ def generate_all_mps_targets(
                 delta=opts.delta,
                 second_order=second_order,
             )
-            t1_gt = mpsop.apply_program_mps(t1_gt, trot.as_program(), trunc_thr=thr)
+            t1_gt = trot.as_mps(t1_gt, trunc_thr=thr)  # fused blocks + scan
 
         with timer("|t1>"):
             trot = trotop.Trotter(
@@ -155,7 +155,7 @@ def generate_all_mps_targets(
                 delta=opts.delta,
                 second_order=second_order,
             )
-            t1 = mpsop.apply_program_mps(t1, trot.as_program(), trunc_thr=thr)
+            t1 = trot.as_mps(t1, trunc_thr=thr)
 
         targets.append(
             TargetMpsState(

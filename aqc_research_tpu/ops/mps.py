@@ -238,18 +238,25 @@ def apply_gate_mps(
     return mps
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _apply_program_mps_jit(mps: MPS, program: GateProgram, trunc_thr: float) -> MPS:
+    for gate in program:
+        mps = apply_gate_mps(mps, gate, trunc_thr=trunc_thr)
+    return mps
+
+
 def apply_program_mps(
     mps: MPS,
     program: GateProgram,
     *,
     trunc_thr: Optional[float] = None,
 ) -> MPS:
-    """Applies a whole gate program (cf. reference qcircuit_mul_mps,
-    mps_operations.py:268-298 — without the circuit re-simulation)."""
+    """Applies a whole gate program as ONE jitted computation
+    (cf. reference qcircuit_mul_mps, mps_operations.py:268-298 — without the
+    circuit re-simulation; eager per-gate dispatch would pay a compile round
+    trip per gate on remote-compile TPU runtimes)."""
     thr = _NO_TRUNCATION_THR if trunc_thr is None else float(trunc_thr)
-    for gate in program:
-        mps = apply_gate_mps(mps, gate, trunc_thr=thr)
-    return mps
+    return _apply_program_mps_jit(mps, tuple(program), thr)
 
 
 def mps_from_program(

@@ -233,9 +233,112 @@ def _main_and_half_gates(circ: Ansatz, thetas: jax.Array, dtype, dagger: bool):
     return gates, pattern, half
 
 
+_MAX_FUSED_PAIRS = 3  # up to 3 disjoint unit blocks fuse into one 64x64 gate
+
+
+def _plan_disjoint_groups(seq):
+    """Greedily groups consecutive blocks for fusion.  Within a group:
+
+    * blocks on the SAME adjacent pair multiply into one 4x4 (Trotter
+      triplets: three blocks on one pair become one gate), and
+    * blocks on DISJOINT pairs that tile a contiguous qubit span kron into
+      one ``4^m x 4^m`` gate (m <= _MAX_FUSED_PAIRS) — one state pass per
+      half-layer instead of one per block.
+
+    Reordering consecutive blocks within a group is safe: same-pair gates
+    keep their order (matrix product), and distinct pairs are disjoint, so
+    their gates commute.  Returns a list of index-lists into ``seq``.
+    """
+    groups = []
+    current: list = []
+    current_pairs: set = set()
+
+    def norm(pair):
+        return (min(pair), max(pair))
+
+    def span_ok(pairs):
+        qs = sorted(q for p_ in pairs for q in p_)
+        return qs == list(range(qs[0], qs[-1] + 1))
+
+    for k, (c, t) in enumerate(seq):
+        if abs(c - t) != 1:
+            if current:
+                groups.append(current)
+                current, current_pairs = [], set()
+            groups.append([k])
+            continue
+        pr = norm((c, t))
+        if pr in current_pairs:
+            current.append(k)  # same pair: fuse by matrix product
+            continue
+        trial_pairs = current_pairs | {pr}
+        overlap = any(
+            len(set(pr) & set(p_)) > 0 for p_ in current_pairs
+        )
+        if (
+            current
+            and not overlap
+            and len(trial_pairs) <= _MAX_FUSED_PAIRS
+            and span_ok(trial_pairs)
+        ):
+            current.append(k)
+            current_pairs = trial_pairs
+        else:
+            if current:
+                groups.append(current)
+            current, current_pairs = [k], {pr}
+    if current:
+        groups.append(current)
+    return groups
+
+
+def _apply_group(state, gseq, seq, group, tail):
+    """Applies one fused group (same-pair products + disjoint-pair kron)."""
+    if len(group) == 1:
+        c, t = seq[group[0]]
+        return apply_2q(state, gseq[group[0]], c, t, tail)
+
+    # Accumulate per-pair 4x4 products in (hi, lo) index order.
+    per_pair: dict = {}
+    order: list = []
+    for k in group:
+        c, t = seq[k]
+        lo = min(c, t)
+        g = gseq[k].reshape(2, 2, 2, 2)
+        if c < t:  # (ctrl,targ) = (lo,hi) -> reorder to (hi,lo)
+            g = jnp.transpose(g, (1, 0, 3, 2))
+        g = g.reshape(4, 4)
+        if lo in per_pair:
+            per_pair[lo] = jnp.matmul(g, per_pair[lo])  # later gate on the left
+        else:
+            per_pair[lo] = g
+            order.append(lo)
+
+    if len(per_pair) == 1:
+        lo = order[0]
+        combined = per_pair[lo]
+        shape = state.shape
+        m = state.reshape(-1, 4, (2**lo) * tail)
+        m = jnp.einsum("ij,ajb->aib", combined.astype(state.dtype), m)
+        return m.reshape(shape)
+
+    items = sorted(per_pair.items(), key=lambda x: -x[0])  # highest pair first
+    combined = items[0][1]
+    for _, g in items[1:]:
+        combined = jnp.kron(combined, g)
+    span_lo = items[-1][0]
+    dim = 4 ** len(items)
+    shape = state.shape
+    m = state.reshape(-1, dim, (2**span_lo) * tail)
+    m = jnp.einsum("ij,ajb->aib", combined.astype(state.dtype), m)
+    return m.reshape(shape)
+
+
 def _apply_block_sequence(state, gates, pattern, tail, reverse: bool):
-    """Applies a sequence of 4x4 gates along ``pattern``; uses lax.scan over
-    maximal repeated sub-patterns to bound compile time."""
+    """Applies a sequence of 4x4 gates along ``pattern``: consecutive
+    disjoint adjacent pairs fuse into single 4^m-dim contractions (one state
+    pass for a whole half-layer instead of one per block), and lax.scan runs
+    over maximal repeated sub-patterns to bound compile time."""
     total = len(pattern)
     if total == 0:
         return state
@@ -254,18 +357,18 @@ def _apply_block_sequence(state, gates, pattern, tail, reverse: bool):
 
     gseq = gates[jnp.asarray(idx)]
     if p == total or total // p < 2:
-        for k in range(total):
-            c, t = seq[k]
-            state = apply_2q(state, gseq[k], c, t, tail)
+        for group in _plan_disjoint_groups(seq):
+            state = _apply_group(state, gseq, seq, group, tail)
         return state
 
     reps = total // p
     chunks = gseq.reshape((reps, p) + gseq.shape[1:])
+    period_seq = seq[:p]
+    period_groups = _plan_disjoint_groups(period_seq)
 
     def body(s, gs):
-        for k in range(p):
-            c, t = seq[k]
-            s = apply_2q(s, gs[k], c, t, tail)
+        for group in period_groups:
+            s = _apply_group(s, gs, period_seq, group, tail)
         return s, None
 
     state, _ = jax.lax.scan(body, state, chunks)

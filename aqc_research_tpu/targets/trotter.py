@@ -187,6 +187,62 @@ def trotter_evolve_state(
     return state
 
 
+def _block_4x4_lo_hi(params, dtype):
+    """The elementary Trotter block in (lo, hi) index order (the MPS pair
+    convention) — transpose of :func:`trotter_block_4x4`."""
+    g = trotter_block_4x4(params, dtype).reshape(2, 2, 2, 2)
+    return jnp.transpose(g, (1, 0, 3, 2)).reshape(4, 4)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 5, 6))
+def trotter_evolve_mps(
+    mps,
+    num_qubits: int,
+    num_steps: int,
+    alphas: jax.Array,
+    betas: jax.Array,
+    second_order: bool,
+    trunc_thr: float,
+):
+    """MPS Trotter evolution with fused elementary blocks: one O(chi^3)
+    truncated pair update per block (8 reference gates), ``lax.scan`` over
+    steps.  The MPS twin of :func:`trotter_evolve_state` — and the engine
+    behind incremental target generation, replacing the reference's per-gate
+    Aer re-simulation."""
+    from ..ops.mps import apply_2q_mps
+
+    dtype = mps.gammas.dtype
+    blk_a = _block_4x4_lo_hi(alphas, dtype)
+    blk_b = _block_4x4_lo_hi(betas, dtype)
+
+    def half_layer(m, blk, start):
+        for k in range(start, num_qubits - 1, 2):
+            m = apply_2q_mps(m, blk, k, trunc_thr=trunc_thr)
+        return m
+
+    if second_order:
+        mps = half_layer(mps, blk_b, 0)
+        mps = half_layer(mps, blk_a, 1)
+
+        def step(m, _):
+            m = half_layer(m, blk_a, 0)
+            m = half_layer(m, blk_a, 1)
+            return m, None
+
+        if num_steps > 1:
+            mps, _ = jax.lax.scan(step, mps, None, length=num_steps - 1)
+        mps = half_layer(mps, blk_b, 0)
+    else:
+
+        def step(m, _):
+            m = half_layer(m, blk_a, 0)
+            m = half_layer(m, blk_a, 1)
+            return m, None
+
+        mps, _ = jax.lax.scan(step, mps, None, length=num_steps)
+    return mps
+
+
 # -----------------------------------------------------------------------------
 # Gate-program form (for the MPS engine and interop, cf. trotter.py:317-378).
 # -----------------------------------------------------------------------------
@@ -324,16 +380,28 @@ class Trotter:
         )
 
     def as_mps(self, ini_state, trunc_thr: Optional[float] = None, chi_max: int = 64):
-        """MPS-form Trotter evolution (cf. reference as_mps, trotter.py:153-180)."""
+        """MPS-form Trotter evolution with fused elementary blocks
+        (cf. reference as_mps, trotter.py:153-180, which re-simulates the
+        whole gate-by-gate circuit through Aer)."""
         from ..ops import mps as mpsop
 
-        program = self.as_program(
-            ini_state if not isinstance(ini_state, mpsop.MPS) else None
-        )
+        thr = mpsop.no_truncation_threshold() if trunc_thr is None else float(trunc_thr)
         if isinstance(ini_state, mpsop.MPS):
-            return mpsop.apply_program_mps(ini_state, program, trunc_thr=trunc_thr)
-        return mpsop.mps_from_program(
-            program, self._num_qubits, chi_max=chi_max, trunc_thr=trunc_thr
+            mps = ini_state
+        else:
+            mps = mpsop.mps_from_program(
+                ini_state, self._num_qubits, chi_max=chi_max, trunc_thr=thr
+            )
+        alphas = jnp.asarray(trotter_alphas(self._dt, self._delta))
+        betas = jnp.asarray(trotter_alphas(self._dt * 0.5, self._delta))
+        return trotter_evolve_mps(
+            mps,
+            self._num_qubits,
+            self._num_steps,
+            alphas,
+            betas,
+            self._second_order,
+            thr,
         )
 
 

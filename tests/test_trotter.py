@@ -136,3 +136,48 @@ class TestPerfectInit:
             program_to_matrix(ansatz_to_program(circ, thetas), 3)
         )
         assert relative_diff(mat_prog, mat_engine) < 1e-12
+
+
+class TestTrotterMps:
+    @pytest.mark.parametrize("second_order", [False, True])
+    def test_as_mps_vs_dense(self, second_order):
+        """Fused-block MPS Trotter evolution equals the dense evolution."""
+        from aqc_research_tpu.ops import mps as mpsop
+
+        n, nsteps, evol_tm = 4, 6, 0.9
+        trot = trotop.Trotter(
+            num_qubits=n,
+            evol_time=evol_tm,
+            num_steps=nsteps,
+            delta=1.0,
+            second_order=second_order,
+        )
+        ini = trotop.neel_init_state(n)
+        dense = np.asarray(trot.as_vector(ini))
+        mps = trot.as_mps(ini, trunc_thr=1e-14, chi_max=2**n)
+        assert relative_diff(np.asarray(mpsop.mps_to_vector(mps)), dense) < 1e-7
+
+    def test_as_mps_incremental(self):
+        """Incremental evolution (MPS input) matches one-shot evolution."""
+        from aqc_research_tpu.ops import mps as mpsop
+
+        n = 4
+        ini = trotop.neel_init_state(n)
+        half1 = trotop.Trotter(
+            num_qubits=n, evol_time=0.5, num_steps=3, delta=1.0, second_order=False
+        )
+        half2 = trotop.Trotter(
+            num_qubits=n, evol_time=0.5, num_steps=3, delta=1.0, second_order=False
+        )
+        full = trotop.Trotter(
+            num_qubits=n, evol_time=1.0, num_steps=6, delta=1.0, second_order=False
+        )
+        m_inc = half2.as_mps(half1.as_mps(ini, trunc_thr=1e-14, chi_max=16), trunc_thr=1e-14)
+        m_full = full.as_mps(ini, trunc_thr=1e-14, chi_max=16)
+        assert (
+            relative_diff(
+                np.asarray(mpsop.mps_to_vector(m_inc)),
+                np.asarray(mpsop.mps_to_vector(m_full)),
+            )
+            < 1e-7
+        )
