@@ -9,8 +9,6 @@ converters live in ops/statevector.py (``ansatz_to_matrix``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .. import checking as chk

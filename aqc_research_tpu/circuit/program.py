@@ -18,7 +18,6 @@ from typing import Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import complex_dtype
 from . import gates as G

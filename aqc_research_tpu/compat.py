@@ -30,7 +30,6 @@ model_sketching.*           models.sketching.*
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .circuit import gates as G
@@ -208,8 +207,6 @@ def rz_mul_mps(angle, qubit: int, mps: mpsop.MPS) -> mpsop.MPS:
 
 
 def _two_q_mps(mps, gate, ctrl, targ, trunc_thr):
-    from .circuit.program import Gate
-
     name = {"x": "cx", "z": "cz"}
     g = mps
     lo, hi = min(ctrl, targ), max(ctrl, targ)

@@ -21,7 +21,7 @@ from ...ops.statevector import ansatz_to_matrix
 from ...optim import optimizer as aqcopt_optimizer
 from ...optim import stoppers as aqcopt
 from ...parallel.executor import run_jobs
-from ...utils import create_logger, num_cpus, prepare_output_folder, print_options
+from ...utils import create_logger, prepare_output_folder, print_options
 from . import sk_core as skc
 from . import sk_utils as sku
 

@@ -30,7 +30,7 @@ weight ``2^q * m`` — the same reshape trick the reference uses
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

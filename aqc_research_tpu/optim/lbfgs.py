@@ -16,7 +16,6 @@ TPU-native replacement of the reference's joblib process fan-out
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

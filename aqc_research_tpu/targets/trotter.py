@@ -20,7 +20,7 @@ The global phase is ignored exactly as in the reference (trotter.py:13-23);
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
