@@ -107,3 +107,28 @@ class TestStoppers:
         scales = [g.estimate(0.5) for _ in range(10)]
         assert scales[0] == 1.0
         assert scales[-1] > 1.0
+
+
+class TestCompactLbfgs:
+    def test_rosenbrock(self):
+        from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact
+
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        res = minimize_lbfgs_compact(_rosenbrock, x0, maxiter=400)
+        assert float(res.fobj) < 1e-8
+        assert np.allclose(np.asarray(res.thetas), 1.0, atol=1e-3)
+
+    def test_threshold_and_no_improve(self):
+        from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact
+
+        x0 = jnp.zeros(4, dtype=jnp.float64)
+        res = minimize_lbfgs_compact(
+            _rosenbrock, x0, maxiter=500, fobj_thr=1e-3
+        )
+        assert bool(res.converged) and float(res.fobj) < 1e-3
+
+        # A flat function triggers the no-improvement stop quickly.
+        res = minimize_lbfgs_compact(
+            lambda x: jnp.sum(0.0 * x) + 1.0, x0, maxiter=500, no_improve_iters=3
+        )
+        assert int(res.num_iters) < 20
