@@ -163,40 +163,93 @@ def apply_2q_mps(
         else jnp.zeros(chi, rdtype).at[0].set(1.0)
     )
 
-    g1 = mps.gammas[site]  # (2, chi, chi)
-    g2 = mps.gammas[site + 1]
+    new_g1, new_g2, new_lam = _pair_update(
+        lam_l,
+        lam_c,
+        lam_r,
+        mps.gammas[site],
+        mps.gammas[site + 1],
+        gate4,
+        chi,
+        trunc_thr,
+        dtype,
+        rdtype,
+    )
+    gammas = mps.gammas.at[site].set(new_g1).at[site + 1].set(new_g2)
+    lambdas = mps.lambdas.at[site].set(new_lam) if n > 1 else mps.lambdas
+    return MPS(gammas, lambdas)
 
-    # theta[s1, s2, a, c] = lam_l[a] g1[s1,a,b] lam_c[b] g2[s2,b,c] lam_r[c]
+
+def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdtype):
+    """Core Vidal pair update on raw tensors; returns (g1', g2', lam')."""
     t1 = g1 * lam_l[None, :, None].astype(dtype)
     t1 = t1 * lam_c[None, None, :].astype(dtype)
     theta = jnp.einsum("sab,tbc->stac", t1, g2)
     theta = theta * lam_r[None, None, None, :].astype(dtype)
 
-    # Apply the gate on the physical indices.
     g = jnp.asarray(gate4, dtype).reshape(2, 2, 2, 2)
     theta = jnp.einsum("stuv,uvac->stac", g, theta)
 
-    # SVD of the (2 chi, 2 chi) matrix M[(s1 a), (s2 c)].
     m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(2 * chi, 2 * chi)
     u, s, vh = jnp.linalg.svd(m, full_matrices=False)
 
     mask, total = _truncation_mask(s, chi, trunc_thr)
     s_kept = jnp.where(mask, s, 0.0)
     kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept))
-    # Preserve the state norm under truncation.
     s_kept = s_kept * (total / jnp.maximum(kept_norm, 1e-300))
     new_lam = s_kept[:chi].astype(rdtype)
 
-    u = jnp.where(mask[None, :], u, 0.0)[:, :chi]  # (2 chi, chi)
-    vh = jnp.where(mask[:, None], vh, 0.0)[:chi, :]  # (chi, 2 chi)
+    u = jnp.where(mask[None, :], u, 0.0)[:, :chi]
+    vh = jnp.where(mask[:, None], vh, 0.0)[:chi, :]
 
     inv_l = _safe_inv(lam_l).astype(dtype)
     inv_r = _safe_inv(lam_r).astype(dtype)
     new_g1 = u.reshape(2, chi, chi) * inv_l[None, :, None]
     new_g2 = jnp.transpose(vh.reshape(chi, 2, chi), (1, 0, 2)) * inv_r[None, None, :]
+    return new_g1, new_g2, new_lam
 
-    gammas = mps.gammas.at[site].set(new_g1).at[site + 1].set(new_g2)
-    lambdas = mps.lambdas.at[site].set(new_lam) if n > 1 else mps.lambdas
+
+def apply_pairs_mps(
+    mps: MPS,
+    gates4: jax.Array,
+    lo_sites: Tuple[int, ...],
+    *,
+    trunc_thr: float = _NO_TRUNCATION_THR,
+) -> MPS:
+    """Applies DISJOINT adjacent-pair gates simultaneously — one **batched**
+    pair update (one batched SVD) for a whole chessboard half-layer.
+
+    ``gates4``: (P, 4, 4) in (site, site+1) index order; ``lo_sites``: the P
+    disjoint pair positions (static).  Disjoint pair updates touch disjoint
+    (Γ, λ) tensors, so the batch is exact, not an approximation — and it
+    collapses P separate SVD subgraphs into one, which both compiles and runs
+    an order of magnitude better than sequential updates on TPU.
+    """
+    n, chi = mps.num_sites, mps.chi
+    rdtype = mps.lambdas.dtype
+    dtype = mps.gammas.dtype
+    lo = np.asarray(lo_sites, dtype=int)
+    assert lo.size > 0 and np.all(np.diff(lo) >= 2), "pairs must be disjoint"
+    assert lo.min() >= 0 and lo.max() + 1 < n
+
+    boundary = jnp.zeros((1, chi), rdtype).at[0, 0].set(1.0)
+    lam_ext = jnp.concatenate([boundary, mps.lambdas, boundary], axis=0)
+    # lam_ext[i + 1] == lambda_i ;  lam_ext[0] / lam_ext[n] are boundaries.
+
+    lam_l = lam_ext[lo]  # lambda_{lo-1}
+    lam_c = lam_ext[lo + 1]  # lambda_{lo}
+    lam_r = lam_ext[lo + 2]  # lambda_{lo+1}
+    g1 = mps.gammas[lo]
+    g2 = mps.gammas[lo + 1]
+
+    new_g1, new_g2, new_lam = jax.vmap(
+        lambda a, b, c, d, e, f: _pair_update(
+            a, b, c, d, e, f, chi, trunc_thr, dtype, rdtype
+        )
+    )(lam_l, lam_c, lam_r, g1, g2, gates4)
+
+    gammas = mps.gammas.at[lo].set(new_g1).at[lo + 1].set(new_g2)
+    lambdas = mps.lambdas.at[lo].set(new_lam)
     return MPS(gammas, lambdas)
 
 
@@ -464,6 +517,34 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
         g, lo = block_gate_lo(g4, k)
         return apply_2q_mps(mps_, g, lo, trunc_thr=thr)
 
+    def apply_run(mps_, ks, gate_source):
+        """Applies a consecutive run of blocks: same-pair gates multiply into
+        one 4x4, disjoint pairs batch into ONE vmapped pair update."""
+        per_pair: dict = {}
+        for k in ks:
+            g, lo = block_gate_lo(gate_source(k), k)
+            per_pair[lo] = g if lo not in per_pair else jnp.matmul(g, per_pair[lo])
+        los = tuple(sorted(per_pair))
+        if len(los) == 1:
+            return apply_2q_mps(mps_, per_pair[los[0]], los[0], trunc_thr=thr)
+        gstack = jnp.stack([per_pair[lo] for lo in los])
+        return apply_pairs_mps(mps_, gstack, los, trunc_thr=thr)
+
+    def plan_runs(ks):
+        """Splits a block-index sequence into maximal runs whose pairs are
+        pairwise disjoint-or-identical (such runs commute freely)."""
+        runs, current, pairs = [], [], set()
+        for k in ks:
+            lo = min(int(circ.blocks[0, k]), int(circ.blocks[1, k]))
+            if current and any(abs(lo - p) == 1 for p in pairs):
+                runs.append(current)
+                current, pairs = [], set()
+            current.append(k)
+            pairs.add(lo)
+        if current:
+            runs.append(current)
+        return runs
+
     # Layered (Trotter) structures scan over layers: compile stays
     # O(blocks-per-layer) instead of O(depth).
     bpl = circ.bpl if circ.is_trotterized else 0
@@ -488,23 +569,24 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
             if dagger:
                 order = order[::-1]
                 g_layers = g_layers[::-1]
+            runs = plan_runs(order)
 
             def body(m_, g_l):
-                for k in order:
-                    m_ = apply_block(m_, k, g_l[k])
+                for run in runs:
+                    m_ = apply_run(m_, run, lambda k: g_l[k])
                 return m_, None
 
             mps_, _ = jax.lax.scan(body, mps_, g_layers)
             return mps_
-        order = range(nb - 1, -1, -1) if dagger else range(nb)
-        for k in order:
-            mps_ = apply_block(mps_, k, gates[k])
+        order = list(range(nb - 1, -1, -1) if dagger else range(nb))
+        for run in plan_runs(order):
+            mps_ = apply_run(mps_, run, lambda k: gates[k])
         return mps_
 
     def apply_half(mps_):
-        order = range(half - 1, -1, -1) if dagger else range(half)
-        for k in order:
-            mps_ = apply_block(mps_, k, gates[k])
+        order = list(range(half - 1, -1, -1) if dagger else range(half))
+        for run in plan_runs(order):
+            mps_ = apply_run(mps_, run, lambda k: gates[k])
         return mps_
 
     if dagger:

@@ -209,16 +209,16 @@ def trotter_evolve_mps(
     steps.  The MPS twin of :func:`trotter_evolve_state` — and the engine
     behind incremental target generation, replacing the reference's per-gate
     Aer re-simulation."""
-    from ..ops.mps import apply_2q_mps
+    from ..ops.mps import apply_pairs_mps
 
     dtype = mps.gammas.dtype
     blk_a = _block_4x4_lo_hi(alphas, dtype)
     blk_b = _block_4x4_lo_hi(betas, dtype)
 
     def half_layer(m, blk, start):
-        for k in range(start, num_qubits - 1, 2):
-            m = apply_2q_mps(m, blk, k, trunc_thr=trunc_thr)
-        return m
+        los = tuple(range(start, num_qubits - 1, 2))
+        gates = jnp.broadcast_to(blk, (len(los), 4, 4))
+        return apply_pairs_mps(m, gates, los, trunc_thr=trunc_thr)
 
     if second_order:
         mps = half_layer(mps, blk_b, 0)
