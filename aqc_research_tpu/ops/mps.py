@@ -117,6 +117,17 @@ def apply_1q_mps(mps: MPS, gate2x2: jax.Array, site: int) -> MPS:
     return MPS(mps.gammas.at[site].set(new_gamma), mps.lambdas)
 
 
+def apply_1q_many(mps: MPS, gates: jax.Array, sites: Tuple[int, ...]) -> MPS:
+    """Applies DISTINCT 1-qubit gates at distinct sites in one batched einsum.
+
+    ``gates``: (P, 2, 2); ``sites``: P distinct site indices (static)."""
+    idx = np.asarray(sites, dtype=int)
+    assert len(set(sites)) == len(sites)
+    g = jnp.asarray(gates, mps.gammas.dtype)
+    new = jnp.einsum("pij,pjab->piab", g, mps.gammas[idx])
+    return MPS(mps.gammas.at[idx].set(new), mps.lambdas)
+
+
 def _safe_inv(lam: jax.Array, cutoff: float = 1e-12) -> jax.Array:
     scale = jnp.max(lam)
     thr = cutoff * jnp.maximum(scale, 1e-300)

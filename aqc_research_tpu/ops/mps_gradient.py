@@ -321,6 +321,257 @@ def _fast_dot_gradient_impl(
     return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
 
 
+# -----------------------------------------------------------------------------
+# Layer-batched gradient for Trotterized (CX) ansatze.
+#
+# Within a chessboard half-layer the triplets act on pairwise-disjoint pairs,
+# so (a) all their entanglers apply as ONE batched SVD phase, (b) each of the
+# four parameterized 1-qubit gates applies as ONE batched einsum across the
+# half-layer, and (c) all the per-parameter inner products <P w|z> at that
+# position come from one pair of left/right environment scans.  Reordering is
+# exact: unitaries on disjoint pairs commute, and applying the same unitary
+# to both w and z leaves every <P w|z> with P on another pair invariant.
+# SVD phases per layer: 6 (vs 3·(n-1) sequential) — the dominant win at
+# large n / chi (BASELINE configs 3 and 5).
+# -----------------------------------------------------------------------------
+
+
+def _folded_all(mps: MPS) -> jax.Array:
+    from .mps import _folded_tensors
+
+    return _folded_tensors(mps)
+
+
+def _env_stacks(w: MPS, z: MPS):
+    """Left/right environment stacks of <w|z>:
+    L[q] covers sites < q (shape (n+1, cw, cz)); R[q] covers sites >= q
+    ((n+1, cw, cz), R[n] = boundary).  A dot inserted at site s uses
+    L[s] · T_s · R[s+1]."""
+    aw, az = _folded_all(w), _folded_all(z)
+    cw, cz = w.chi, z.chi
+    dtype = aw.dtype
+    e0 = jnp.zeros((cw, cz), dtype).at[0, 0].set(1.0)
+
+    def lstep(env, ts):
+        t1, t2 = ts
+        new = jnp.einsum("aA,sab,sAB->bB", env, jnp.conj(t1), t2)
+        return new, new
+
+    _, l_tail = jax.lax.scan(lstep, e0, (aw, az))
+    l_stack = jnp.concatenate([e0[None], l_tail], axis=0)
+
+    def rstep(env, ts):
+        t1, t2 = ts
+        new = jnp.einsum("sab,sAB,bB->aA", jnp.conj(t1), t2, env)
+        return new, new
+
+    _, r_tail = jax.lax.scan(rstep, e0, (aw[::-1], az[::-1]))
+    r_stack = jnp.concatenate([r_tail[::-1], e0[None]], axis=0)
+    return aw, az, l_stack, r_stack
+
+
+def _batched_dots(w: MPS, z: MPS, pauli_mats: jax.Array, sites):
+    """All ``<P_k w | z>`` for distinct sites in one batched contraction."""
+    idx = np.asarray(sites, dtype=int)
+    aw, az, l_stack, r_stack = _env_stacks(w, z)
+
+    def one(l_env, taw, taz, r_env, p):
+        paw = jnp.einsum("ij,jab->iab", p.astype(taw.dtype), taw)
+        return jnp.einsum(
+            "aA,sab,sAB,bB->", l_env, jnp.conj(paw), taz, r_env
+        )
+
+    return jax.vmap(one)(
+        l_stack[idx], aw[idx], az[idx], r_stack[idx + 1], pauli_mats
+    )
+
+
+def _layered_plan(circ: Ansatz):
+    """Static structure of one layer: half-layer groups of triplets.
+
+    Returns a list of groups; each group is a list of
+    (triplet_index_in_layer, lo_site, flipped) where ``flipped`` marks the
+    middle block's (ctrl=lo) orientation handled per block below."""
+    bpl = circ.bpl
+    triplets = []
+    for t in range(bpl // 3):
+        c0 = int(circ.blocks[0, 3 * t])
+        t0 = int(circ.blocks[1, 3 * t])
+        triplets.append((t, min(c0, t0)))
+    groups = []
+    current = []
+    used = set()
+    for t, lo in triplets:
+        if any(abs(lo - u) <= 1 for u in used):
+            groups.append(current)
+            current, used = [], set()
+        current.append((t, lo))
+        used.add(lo)
+    if current:
+        groups.append(current)
+    return groups
+
+
+def _cx_lo_hi(ctrl_is_hi: bool, dtype):
+    """CX in (lo, hi) row ordering (row index = s_lo * 2 + s_hi)."""
+    mat = G.controlled(G.x(dtype), dtype).reshape(2, 2, 2, 2)  # (ctrl, targ)
+    if ctrl_is_hi:  # (ctrl,targ) = (hi,lo) -> transpose into (lo,hi)
+        mat = jnp.transpose(mat, (1, 0, 3, 2))
+    return mat.reshape(4, 4)
+
+
+def _rz_frame_lo_hi(angle, on_hi: bool, dtype):
+    """1q Rz framing embedded as a 4x4 in (lo, hi) ordering."""
+    rz = G.rz(angle, dtype)
+    eye = G.eye2(dtype)
+    return G.kron2(eye, rz) if on_hi else G.kron2(rz, eye)
+
+
+def _half_layer_cosweep(
+    circ,
+    group,
+    layer_thetas,  # (bpl, tpb) — this layer's block angles
+    layer_masks,  # (bpl,)
+    w: MPS,
+    z: MPS,
+    trunc_thr: float,
+    dtype,
+):
+    """Processes one chessboard half-layer; returns (w, z, dots (bpl, 4))
+    with rows only for this group's blocks filled (others zero)."""
+    from .mps import apply_1q_many, apply_pairs_mps
+
+    n = circ.num_qubits
+    y_mat, z_mat, x_mat = G.y(dtype), G.z(dtype), G.x(dtype)
+    los = tuple(lo for _, lo in group)
+    tidx = [t for t, _ in group]
+    dots_rows = jnp.zeros((circ.bpl, 4), dtype)
+
+    for b in range(3):
+        ctrl_is_hi = b != 1  # triplet blocks 0/2 have ctrl = hi, block 1 flipped
+        ent = _cx_lo_hi(ctrl_is_hi, dtype)
+        if b == 0:
+            # Leading triplet framing Rz(-pi/2) on ctrl (= hi) folds into E.
+            ent = jnp.matmul(ent, _rz_frame_lo_hi(-np.pi / 2, True, dtype))
+        gates = jnp.broadcast_to(ent, (len(los), 4, 4))
+        w = apply_pairs_mps(w, gates, los, trunc_thr=trunc_thr)
+        z = apply_pairs_mps(z, gates, los, trunc_thr=trunc_thr)
+
+        blk = [3 * t + b for t in tidx]  # block indices within the layer
+        th = layer_thetas[jnp.asarray(blk)]  # (P, tpb)
+        msk = layer_masks[jnp.asarray(blk)]  # (P,)
+        ctrl_sites = tuple((lo + 1 if ctrl_is_hi else lo) for lo in los)
+        targ_sites = tuple((lo if ctrl_is_hi else lo + 1) for lo in los)
+
+        specs = [
+            (G.ry, y_mat, ctrl_sites, 0),
+            (G.rz, z_mat, ctrl_sites, 1),
+            (G.ry, y_mat, targ_sites, 2),
+            (G.rx, x_mat, targ_sites, 3),
+        ]
+        for gate_fn, pauli, sites, col in specs:
+            g1q = gate_fn(th[:, col], dtype)  # (P, 2, 2)
+            w = apply_1q_many(w, g1q, sites)
+            z = apply_1q_many(z, g1q, sites)
+            paulis = jnp.broadcast_to(pauli, (len(sites), 2, 2))
+            vals = 0.5j * _batched_dots(w, z, paulis, sites) * msk.astype(dtype)
+            dots_rows = dots_rows.at[jnp.asarray(blk), col].add(vals)
+
+        if b == 2:
+            # Trailing triplet framing Rz(pi/2) on targ (= lo).
+            frame = jnp.broadcast_to(G.rz(np.pi / 2, dtype), (len(los), 2, 2))
+            w = apply_1q_many(w, frame, targ_sites)
+            z = apply_1q_many(z, frame, targ_sites)
+    return w, z, dots_rows
+
+
+def _front_cosweep_batched(circ, thetas1q, w: MPS, z: MPS, front_layer, dtype):
+    """Front Rz·Ry·Rz layer: batched 1q applies + batched dots."""
+    from .mps import apply_1q_many
+
+    n = circ.num_qubits
+    sites = tuple(range(n))
+    y_mat, z_mat = G.y(dtype), G.z(dtype)
+    grads = jnp.zeros((n, 3), dtype)
+    for col, (gate_fn, pauli) in ((2, (G.rz, z_mat)), (1, (G.ry, y_mat)), (0, (G.rz, z_mat))):
+        g1q = gate_fn(thetas1q[:, col], dtype)
+        w = apply_1q_many(w, g1q, sites)
+        z = apply_1q_many(z, g1q, sites)
+        if front_layer:
+            paulis = jnp.broadcast_to(pauli, (n, 2, 2))
+            grads = grads.at[:, col].set(0.5j * _batched_dots(w, z, paulis, sites))
+    return w, z, grads
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _fast_dot_gradient_layered(
+    circ: Ansatz,
+    thetas: jax.Array,
+    lvec: MPS,
+    vh_phi: MPS,
+    trunc_thr: float,
+    block_range: Tuple[int, int],
+    front_layer: bool,
+) -> jax.Array:
+    dtype = lvec.gammas.dtype
+    nb, bpl, tpb = circ.num_blocks, circ.bpl, circ.tpb
+    layers = nb // bpl
+    groups = _layered_plan(circ)
+
+    thetas1q = circ.subset1q(thetas)
+    thetas2q = circ.subset2q(thetas)
+    mask_np = np.zeros(nb)
+    mask_np[block_range[0] : block_range[1]] = 1.0
+    masks = jnp.asarray(mask_np)
+
+    w, z, grad1q = _front_cosweep_batched(
+        circ, thetas1q, lvec, vh_phi, front_layer, dtype
+    )
+
+    th_layers = thetas2q.reshape(layers, bpl, tpb)
+    m_layers = masks.reshape(layers, bpl)
+
+    def layer_body(carry, xs):
+        w_, z_ = carry
+        th_l, m_l = xs
+        dots = jnp.zeros((bpl, 4), dtype)
+        for group in groups:
+            w_, z_, rows = _half_layer_cosweep(
+                circ, group, th_l, m_l, w_, z_, trunc_thr, dtype
+            )
+            dots = dots + rows
+        return (w_, z_), dots
+
+    (w, z), scanned = jax.lax.scan(layer_body, (w, z), (th_layers, m_layers))
+    grad2q = scanned.reshape(nb, tpb)
+
+    half = circ.half_layer_num_blocks
+    if half:
+        # Trailing half-layer == leading even group of layer 0; accumulate.
+        w, z, rows = _half_layer_cosweep(
+            circ, groups[0], th_layers[0], m_layers[0], w, z, trunc_thr, dtype
+        )
+        grad2q = grad2q.at[:bpl].add(rows)
+
+    return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
+
+
+def _layered_eligible(circ: Ansatz) -> bool:
+    if not (circ.is_trotterized and circ.entangler == "cx"):
+        return False
+    nb, bpl = circ.num_blocks, circ.bpl
+    if nb == 0 or bpl == 0 or nb % bpl != 0:
+        return False
+    # Pattern must tile layer-periodically with the canonical triplet layout.
+    for k in range(nb):
+        if (
+            circ.blocks[0, k] != circ.blocks[0, k % bpl]
+            or circ.blocks[1, k] != circ.blocks[1, k % bpl]
+        ):
+            return False
+    return True
+
+
 def fast_dot_gradient(
     circ: Ansatz,
     thetas,
@@ -335,10 +586,17 @@ def fast_dot_gradient(
 
     ``vh_phi`` must already hold ``V† phi`` (cached from the objective pass)
     — the same contract as the reference (mps_dot_objective.py:63-68).
+    Trotterized CX ansatze take the layer-batched path (6 batched SVD phases
+    per layer); other structures use the sequential env-cached sweep.
     """
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
-    return _fast_dot_gradient_impl(
+    impl = (
+        _fast_dot_gradient_layered
+        if _layered_eligible(circ)
+        else _fast_dot_gradient_impl
+    )
+    return impl(
         circ,
         jnp.asarray(thetas),
         lvec,
