@@ -159,6 +159,80 @@ def optimize_horizon_multistart(
     )
 
 
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _optimize_horizon_mps(
+    circ: Ansatz,
+    x0,
+    tgt,  # MPS target (pytree)
+    base_bits: tuple,
+    trunc_thr: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+) -> JitHorizonResult:
+    from ...ops.mps import mps_basis_state, mps_flip_amplitudes, v_dagger_mul_mps
+    from ...ops.mps_gradient import fast_dot_gradient
+
+    chi = tgt.chi
+    lvec = mps_basis_state(base_bits, chi, tgt.gammas.dtype)
+
+    def value(th):
+        vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+        amps = mps_flip_amplitudes(vh, base_bits)
+        return (1.0 - jnp.abs(amps[0]) ** 2).real.astype(x0.dtype)
+
+    def value_and_grad(th):
+        vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+        amps = mps_flip_amplitudes(vh, base_bits)
+        hs0 = amps[0]
+        fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(x0.dtype)
+        # Analytic MPS co-sweep — autodiff through truncated SVDs is
+        # ill-conditioned; the co-sweep is exact (parity-tested vs dense).
+        grad = fast_dot_gradient(circ, th, lvec, vh, trunc_thr=trunc_thr)
+        grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(x0.dtype)
+        return fobj, grad
+
+    res = minimize_lbfgs_compact(
+        value,
+        x0,
+        maxiter=maxiter,
+        fobj_thr=fobj_thr,
+        no_improve_iters=no_improve_iters,
+        value_and_grad_fn=value_and_grad,
+    )
+    fid = 1.0 - res.fobj
+    return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
+
+
+def optimize_horizon_mps_jit(
+    circ: Ansatz,
+    thetas0,
+    target,  # MPS
+    *,
+    base_bits: Sequence[int],
+    trunc_thr: float = 1e-6,
+    fidelity_thr: Optional[float] = None,
+    maxiter: int = 100,
+    no_improve_iters: Optional[int] = None,
+) -> JitHorizonResult:
+    """Fully-on-device ASP horizon optimization with the MPS engine: the
+    fidelity objective (one fused-block V† sweep + flip-amplitude read) and
+    the layer-batched analytic MPS co-sweep gradient run inside one jitted
+    compact-L-BFGS loop.  ``base_bits`` encodes the X-layer product prep
+    (e.g. the Neel state)."""
+    fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
+    return _optimize_horizon_mps(
+        circ,
+        jnp.asarray(thetas0),
+        target,
+        tuple(int(b) for b in base_bits),
+        float(trunc_thr),
+        fobj_thr,
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
+    )
+
+
 def optimize_horizon_jit(
     circ: Ansatz,
     thetas0,

@@ -87,6 +87,18 @@ def mps_zero(num_qubits: int, chi_max: int, dtype=None) -> MPS:
     return MPS(gammas, lambdas)
 
 
+def mps_basis_state(bits: Tuple[int, ...], chi_max: int, dtype=None) -> MPS:
+    """Computational basis state |b_{n-1} ... b_0> as an MPS (bit q = site q)."""
+    dtype = complex_dtype() if dtype is None else dtype
+    n = len(bits)
+    gammas = jnp.zeros((n, 2, chi_max, chi_max), dtype)
+    for q, b in enumerate(bits):
+        gammas = gammas.at[q, int(b), 0, 0].set(1.0)
+    lambdas = jnp.zeros((max(n - 1, 0), chi_max), jnp.real(gammas).dtype)
+    lambdas = lambdas.at[:, 0].set(1.0)
+    return MPS(gammas, lambdas)
+
+
 def check_mps(mps: MPS) -> bool:
     """Structural validation (cf. reference check_mps, mps_operations.py:87-123):
     shapes consistent, lambdas non-negative and descending."""

