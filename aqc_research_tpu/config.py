@@ -82,3 +82,22 @@ def is_tpu() -> bool:
     except RuntimeError:
         return False
     return platform not in ("cpu", "gpu")
+
+
+_EIGH_SVD: bool | None = None  # None = auto (TPU-like backends)
+
+
+def set_eigh_svd(enabled: bool | None) -> None:
+    """Forces (True/False) or re-enables auto-selection (None) of the
+    real-eigh-based complex SVD in the MPS engine."""
+    global _EIGH_SVD
+    _EIGH_SVD = enabled
+
+
+def use_eigh_svd() -> bool:
+    """Whether the MPS engine should build its truncated SVD from real eigh
+    (ops/svd_tpu.py).  Auto: on TPU-like backends, whose complex SVD/eigh
+    executions fail lazily on some runtimes; LAPACK otherwise."""
+    if _EIGH_SVD is not None:
+        return _EIGH_SVD
+    return is_tpu()

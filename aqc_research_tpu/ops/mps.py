@@ -203,6 +203,17 @@ def apply_2q_mps(
     return MPS(gammas, lambdas)
 
 
+def _truncation_mask_topk(s: jax.Array, total: jax.Array, chi: int, trunc_thr: float):
+    """Keep mask given only the top-chi singular values and the full Frobenius
+    norm ``total`` of the matrix: discard value i when the tail norm
+    (everything from i on, including the unseen remainder) is
+    <= trunc_thr * total."""
+    s2 = s * s
+    head = jnp.concatenate([jnp.zeros(1, s.dtype), jnp.cumsum(s2)[:-1]])
+    tail = jnp.sqrt(jnp.maximum(total * total - head, 0.0))
+    return tail > (trunc_thr * total)
+
+
 def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdtype):
     """Core Vidal pair update on raw tensors; returns (g1', g2', lam')."""
     t1 = g1 * lam_l[None, :, None].astype(dtype)
@@ -214,16 +225,30 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
     theta = jnp.einsum("stuv,uvac->stac", g, theta)
 
     m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(2 * chi, 2 * chi)
-    u, s, vh = jnp.linalg.svd(m, full_matrices=False)
 
-    mask, total = _truncation_mask(s, chi, trunc_thr)
+    from ..config import use_eigh_svd
+
+    if use_eigh_svd():
+        # Complex LAPACK SVD executions fail on some TPU runtimes; build the
+        # top-chi factors from REAL symmetric eigh instead (ops/svd_tpu.py).
+        from .svd_tpu import svd_top_k
+
+        u, s, vh = svd_top_k(m, chi)  # (2chi, chi), (chi,), (chi, 2chi)
+        total = jnp.linalg.norm(m).astype(s.dtype)
+        mask = _truncation_mask_topk(s, total, chi, trunc_thr)
+    else:
+        u, s, vh = jnp.linalg.svd(m, full_matrices=False)
+        mask, total = _truncation_mask(s, chi, trunc_thr)
+        u, s, vh = u[:, :chi], s[:chi], vh[:chi, :]
+        mask = mask[:chi]
+
     s_kept = jnp.where(mask, s, 0.0)
     kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept))
     s_kept = s_kept * (total / jnp.maximum(kept_norm, 1e-300))
-    new_lam = s_kept[:chi].astype(rdtype)
+    new_lam = s_kept.astype(rdtype)
 
-    u = jnp.where(mask[None, :], u, 0.0)[:, :chi]
-    vh = jnp.where(mask[:, None], vh, 0.0)[:chi, :]
+    u = jnp.where(mask[None, :], u, 0.0)
+    vh = jnp.where(mask[:, None], vh, 0.0)
 
     inv_l = _safe_inv(lam_l).astype(dtype)
     inv_r = _safe_inv(lam_r).astype(dtype)
