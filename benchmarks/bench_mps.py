@@ -55,10 +55,20 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
 
     lvec = mpsop.mps_from_program(ini, num_qubits, chi_max=chi)
 
+    import jax
+
+    @jax.jit
+    def gnorm(g):
+        return jnp.linalg.norm(jnp.real(g)).reshape(1).astype(jnp.float32)
+
     tic = time.perf_counter()
     vh = mpsop.v_dagger_mul_mps(circ, thetas, target, trunc_thr=trunc_thr)
     g = fast_dot_gradient(circ, thetas, lvec, vh, trunc_thr=trunc_thr)
-    g.block_until_ready()
+    # FETCH a derived value: on some TPU runtimes failed executions surface
+    # only at device->host transfer, not at block_until_ready — a fetch
+    # proves the computation actually ran.
+    norm_val = float(np.asarray(gnorm(g))[0])
+    assert np.isfinite(norm_val) and norm_val > 0, norm_val
     compile_s = time.perf_counter() - tic
 
     repeats = 5
@@ -80,6 +90,7 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
                 "unit": "sweeps/s",
                 "compile_s": round(compile_s, 1),
                 "num_thetas": circ.num_thetas,
+                "grad_norm": round(norm_val, 6),  # fetched — proves execution
             }
         )
     )
