@@ -124,13 +124,15 @@ class SketchingObjectiveEx:
             print(".", end="", flush=True)
             self._elapsed_time = now
 
+        from ...utils import from_host
+
         cdtype = np.dtype(complex_dtype())
         x, y = self._skvecs.generate(self._circ, np.asarray(thetas))
         fobj, grad = _objective_and_gradient_kernel(
             self._circ,
             jnp.asarray(thetas),
-            jnp.asarray(x, cdtype),
-            jnp.asarray(y, cdtype),
+            from_host(np.asarray(x, cdtype)),
+            from_host(np.asarray(y, cdtype)),
         )
         fobj, grad = float(fobj), np.asarray(grad, dtype=np.float64)
 

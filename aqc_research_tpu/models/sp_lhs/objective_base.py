@@ -494,7 +494,13 @@ class SpLHSObjectiveBase(ABC):
     def set_target(self, target) -> None:
         if isinstance(target, (np.ndarray, jnp.ndarray)):
             assert not self._use_mps
-            self._target = jnp.asarray(target)
+            from ...utils import from_host
+
+            # Complex host->device transfers are lazily invalid on some TPU
+            # runtimes; route through the real/imag-plane helper.
+            self._target = (
+                from_host(target) if isinstance(target, np.ndarray) else target
+            )
         else:
             assert self._use_mps
             self._target = target

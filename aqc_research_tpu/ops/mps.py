@@ -77,19 +77,8 @@ class MPS:
         return cls(*children)
 
 
-def mps_zero(num_qubits: int, chi_max: int, dtype=None) -> MPS:
-    """|0...0> as an MPS with bond dimension padded to ``chi_max``."""
-    dtype = complex_dtype() if dtype is None else dtype
-    gammas = jnp.zeros((num_qubits, 2, chi_max, chi_max), dtype)
-    gammas = gammas.at[:, 0, 0, 0].set(1.0)
-    lambdas = jnp.zeros((max(num_qubits - 1, 0), chi_max), jnp.real(gammas).dtype)
-    lambdas = lambdas.at[:, 0].set(1.0)
-    return MPS(gammas, lambdas)
-
-
-def mps_basis_state(bits: Tuple[int, ...], chi_max: int, dtype=None) -> MPS:
-    """Computational basis state |b_{n-1} ... b_0> as an MPS (bit q = site q)."""
-    dtype = complex_dtype() if dtype is None else dtype
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _mps_basis_state_jit(bits: Tuple[int, ...], chi_max: int, dtype) -> MPS:
     n = len(bits)
     gammas = jnp.zeros((n, 2, chi_max, chi_max), dtype)
     for q, b in enumerate(bits):
@@ -97,6 +86,21 @@ def mps_basis_state(bits: Tuple[int, ...], chi_max: int, dtype=None) -> MPS:
     lambdas = jnp.zeros((max(n - 1, 0), chi_max), jnp.real(gammas).dtype)
     lambdas = lambdas.at[:, 0].set(1.0)
     return MPS(gammas, lambdas)
+
+
+def mps_zero(num_qubits: int, chi_max: int, dtype=None) -> MPS:
+    """|0...0> as an MPS with bond dimension padded to ``chi_max``.
+
+    Built INSIDE jit: eager complex array creation produces lazily-invalid
+    buffers on some TPU runtimes (see CLAUDE.md)."""
+    dtype = complex_dtype() if dtype is None else dtype
+    return _mps_basis_state_jit((0,) * num_qubits, chi_max, dtype)
+
+
+def mps_basis_state(bits: Tuple[int, ...], chi_max: int, dtype=None) -> MPS:
+    """Computational basis state |b_{n-1} ... b_0> as an MPS (bit q = site q)."""
+    dtype = complex_dtype() if dtype is None else dtype
+    return _mps_basis_state_jit(tuple(int(b) for b in bits), chi_max, dtype)
 
 
 def check_mps(mps: MPS) -> bool:
@@ -498,7 +502,9 @@ def mps_from_dense(state: np.ndarray, chi_max: int, dtype=None) -> MPS:
     inv = np.where(prev_lam > 1e-14, 1.0 / prev_lam, 0.0)
     last = mats.reshape(2, left_dim)
     gammas[n - 1, :, :left_dim, 0] = last * inv[None, :]
-    return MPS(jnp.asarray(gammas, dtype), jnp.asarray(lambdas))
+    from ..utils import from_host
+
+    return MPS(from_host(gammas.astype(np.dtype(dtype))), jnp.asarray(lambdas))
 
 
 def rand_mps_vec(

@@ -31,6 +31,31 @@ from ..config import complex_dtype, real_dtype
 # -----------------------------------------------------------------------------
 
 
+def from_host(x):
+    """Moves a (possibly complex) NumPy array to the device.
+
+    Complex host->device transfers are lazily invalid on some TPU runtimes;
+    this transfers the real/imag planes separately (real transfers work) and
+    combines them on device inside a jitted computation.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = np.asarray(x)
+    if np.dtype(x.dtype).kind != "c":
+        return jax.device_put(x)
+    cdtype = jnp.complex64 if x.dtype == np.complex64 else jnp.complex128
+
+    @jax.jit
+    def combine(re, im):
+        return (re + 1j * im).astype(cdtype)
+
+    return combine(
+        jax.device_put(np.ascontiguousarray(x.real)),
+        jax.device_put(np.ascontiguousarray(x.imag)),
+    )
+
+
 def to_host(x) -> np.ndarray:
     """Fetches a (possibly complex) device array to a NumPy array.
 
