@@ -96,8 +96,14 @@ def set_eigh_svd(enabled: bool | None) -> None:
 
 def use_eigh_svd() -> bool:
     """Whether the MPS engine should build its truncated SVD from real eigh
-    (ops/svd_tpu.py).  Auto: on TPU-like backends, whose complex SVD/eigh
-    executions fail lazily on some runtimes; LAPACK otherwise."""
+    (ops/svd_tpu.py) instead of the native complex SVD.
+
+    Auto is OFF: native complex SVD works on TPU once inputs are valid (the
+    observed failures were lazily-invalid buffers from eager complex array
+    creation / complex host->device transfers — see utils.from_host and the
+    jitted MPS constructors).  The real-eigh route remains available as an
+    explicit fallback for toolchains where complex decompositions genuinely
+    fail."""
     if _EIGH_SVD is not None:
         return _EIGH_SVD
-    return is_tpu()
+    return False
