@@ -84,26 +84,44 @@ def is_tpu() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-_EIGH_SVD: bool | None = None  # None = auto (TPU-like backends)
+_SVD_IMPLS = ("native", "gram", "embed")
+_SVD_IMPL: str | None = os.environ.get("AQC_TPU_SVD_IMPL") or None
+
+
+def set_svd_impl(impl: str | None) -> None:
+    """Selects the MPS truncated-SVD implementation.
+
+    * ``"native"`` — ``jnp.linalg.svd`` (LAPACK on CPU, QDWH-SVD on TPU).
+      Most accurate; QDWH is slow on TPU (QR-iteration bound).
+    * ``"gram"``   — native complex eigh of the Gram matrix + matmul factor
+      recovery (ops/svd_tpu.svd_gram_top_k).  MXU-friendly; squared condition
+      number only affects about-to-be-truncated directions.
+    * ``"embed"``  — real-embedding eigh + masked complex MGS
+      (ops/svd_tpu.svd_top_k).  Fallback for runtimes where complex
+      decompositions genuinely fail; the sequential MGS makes it slow.
+    * ``None``     — auto: "gram" on TPU-like backends, "native" elsewhere.
+
+    The choice is read at TRACE time — call ``jax.clear_caches()`` after
+    switching if programs were already compiled.
+    """
+    if impl is not None and impl not in _SVD_IMPLS:
+        raise ValueError(f"unknown svd impl: {impl!r} (use one of {_SVD_IMPLS})")
+    global _SVD_IMPL
+    _SVD_IMPL = impl
+
+
+def svd_impl() -> str:
+    """The MPS truncated-SVD implementation in effect (see set_svd_impl)."""
+    if _SVD_IMPL is not None:
+        return _SVD_IMPL
+    return "gram" if is_tpu() else "native"
 
 
 def set_eigh_svd(enabled: bool | None) -> None:
-    """Forces (True/False) or re-enables auto-selection (None) of the
-    real-eigh-based complex SVD in the MPS engine."""
-    global _EIGH_SVD
-    _EIGH_SVD = enabled
+    """Back-compat alias: True -> "embed", False -> "native", None -> auto."""
+    set_svd_impl(None if enabled is None else ("embed" if enabled else "native"))
 
 
 def use_eigh_svd() -> bool:
-    """Whether the MPS engine should build its truncated SVD from real eigh
-    (ops/svd_tpu.py) instead of the native complex SVD.
-
-    Auto is OFF: native complex SVD works on TPU once inputs are valid (the
-    observed failures were lazily-invalid buffers from eager complex array
-    creation / complex host->device transfers — see utils.from_host and the
-    jitted MPS constructors).  The real-eigh route remains available as an
-    explicit fallback for toolchains where complex decompositions genuinely
-    fail."""
-    if _EIGH_SVD is not None:
-        return _EIGH_SVD
-    return False
+    """Back-compat alias for svd_impl() == "embed"."""
+    return svd_impl() == "embed"

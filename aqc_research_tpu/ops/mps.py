@@ -230,21 +230,24 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
 
     m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(2 * chi, 2 * chi)
 
-    from ..config import use_eigh_svd
+    from ..config import svd_impl
 
-    if use_eigh_svd():
-        # Complex LAPACK SVD executions fail on some TPU runtimes; build the
-        # top-chi factors from REAL symmetric eigh instead (ops/svd_tpu.py).
-        from .svd_tpu import svd_top_k
-
-        u, s, vh = svd_top_k(m, chi)  # (2chi, chi), (chi,), (chi, 2chi)
-        total = jnp.linalg.norm(m).astype(s.dtype)
-        mask = _truncation_mask_topk(s, total, chi, trunc_thr)
-    else:
+    impl = svd_impl()
+    if impl == "native":
         u, s, vh = jnp.linalg.svd(m, full_matrices=False)
         mask, total = _truncation_mask(s, chi, trunc_thr)
         u, s, vh = u[:, :chi], s[:chi], vh[:chi, :]
         mask = mask[:chi]
+    else:
+        # Top-chi factors without QDWH-SVD: "gram" = native complex eigh of
+        # the Gram matrix (MXU-friendly); "embed" = real-embedding eigh + MGS
+        # for runtimes where complex decompositions fail (ops/svd_tpu.py).
+        from .svd_tpu import svd_gram_top_k, svd_top_k
+
+        top_k = svd_gram_top_k if impl == "gram" else svd_top_k
+        u, s, vh = top_k(m, chi)  # (2chi, chi), (chi,), (chi, 2chi)
+        total = jnp.linalg.norm(m).astype(s.dtype)
+        mask = _truncation_mask_topk(s, total, chi, trunc_thr)
 
     s_kept = jnp.where(mask, s, 0.0)
     kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept))

@@ -100,3 +100,42 @@ def svd_top_k(m: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array, jax.Array
     inv_s = jnp.where(s > 1e-30, 1.0 / jnp.maximum(s, 1e-30), 0.0)
     u = (m @ v) * inv_s[None, :].astype(dtype)
     return u, s, jnp.conj(v.T)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def svd_gram_top_k(m: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-``top_k`` SVD factors via NATIVE complex eigh of the Gram matrix.
+
+    One Hermitian eigendecomposition of the smaller Gram side plus matmuls —
+    much friendlier to the TPU (matmuls tile onto the MXU; eigh is half the
+    work of QDWH-SVD) than ``jnp.linalg.svd``.  Same squared-condition-number
+    caveat as :func:`svd_top_k`: singular values below ~sqrt(eps)*s_max lose
+    relative accuracy, which only affects directions the pair update is about
+    to truncate anyway.
+
+    Returns (U (rows, k), s (k,) descending, Vh (k, cols)); directions beyond
+    the numerical rank come back as zeros.
+    """
+    rows, cols = m.shape
+    dtype = m.dtype
+    rdtype = jnp.real(m).dtype
+    if cols <= rows:
+        h = jnp.conj(m.T) @ m  # (cols, cols)
+        w, v = jnp.linalg.eigh(h)  # ascending
+        v_k = v[:, ::-1][:, :top_k]
+        lam = jnp.maximum(w[::-1][:top_k], 0.0)
+        s = jnp.sqrt(lam).astype(rdtype)
+        inv_s = jnp.where(s > 1e-30, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+        u = (m @ v_k) * inv_s[None, :].astype(dtype)
+        vh = jnp.conj(v_k.T)
+        vh = jnp.where((s > 1e-30)[:, None], vh, 0.0)
+    else:
+        g = m @ jnp.conj(m.T)  # (rows, rows)
+        w, u_full = jnp.linalg.eigh(g)
+        u = u_full[:, ::-1][:, :top_k]
+        lam = jnp.maximum(w[::-1][:top_k], 0.0)
+        s = jnp.sqrt(lam).astype(rdtype)
+        inv_s = jnp.where(s > 1e-30, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+        vh = inv_s[:, None].astype(dtype) * (jnp.conj(u.T) @ m)
+        u = jnp.where((s > 1e-30)[None, :], u, 0.0)
+    return u, s, vh

@@ -3,8 +3,8 @@
 import numpy as np
 import pytest
 
-from aqc_research_tpu.config import set_eigh_svd
-from aqc_research_tpu.ops.svd_tpu import svd_top_k
+from aqc_research_tpu.config import set_eigh_svd, set_svd_impl
+from aqc_research_tpu.ops.svd_tpu import svd_gram_top_k, svd_top_k
 
 
 def _make_matrix(s_values, rng, rows=None, cols=None):
@@ -55,6 +55,45 @@ class TestSvdTopK:
         np.testing.assert_allclose((u * s) @ vh, m, atol=1e-7)
 
 
+class TestSvdGramTopK:
+    """Gram-matrix complex-eigh truncated SVD (the TPU fast path)."""
+
+    def test_random_matrix(self):
+        rng = np.random.default_rng(3)
+        m = rng.normal(size=(16, 16)) + 1j * rng.normal(size=(16, 16))
+        k = 8
+        u, s, vh = (np.asarray(x) for x in svd_gram_top_k(m, k))
+        np.testing.assert_allclose(s, np.linalg.svd(m, compute_uv=False)[:k], rtol=1e-8)
+        np.testing.assert_allclose(u.conj().T @ u, np.eye(k), atol=1e-8)
+        np.testing.assert_allclose(vh @ vh.conj().T, np.eye(k), atol=1e-8)
+        uu, ss, vv = np.linalg.svd(m)
+        best = (uu[:, :k] * ss[:k]) @ vv[:k]
+        np.testing.assert_allclose((u * s) @ vh, best, atol=1e-7)
+
+    @pytest.mark.parametrize("shape", [(12, 6), (6, 12)])
+    def test_rectangular(self, shape):
+        """Both orientations (the Gram side is chosen as the smaller one)."""
+        rng = np.random.default_rng(4)
+        m = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+        k = 4
+        u, s, vh = (np.asarray(x) for x in svd_gram_top_k(m, k))
+        np.testing.assert_allclose(s, np.linalg.svd(m, compute_uv=False)[:k], rtol=1e-8)
+        uu, ss, vv = np.linalg.svd(m)
+        best = (uu[:, :k] * ss[:k]) @ vv[:k]
+        np.testing.assert_allclose((u * s) @ vh, best, atol=1e-7)
+
+    def test_degenerate_and_rank_deficient(self):
+        rng = np.random.default_rng(5)
+        m = _make_matrix([3.0, 3.0, 2.0, 2.0, 1.0, 0.0, 0.0, 0.0], rng)
+        k = 6
+        u, s, vh = (np.asarray(x) for x in svd_gram_top_k(m, k))
+        np.testing.assert_allclose(s[:5], [3, 3, 2, 2, 1], rtol=1e-6)
+        assert np.all(s[5:] < 1e-6)
+        uu, ss, vv = np.linalg.svd(m)
+        best = (uu[:, :5] * ss[:5]) @ vv[:5]
+        np.testing.assert_allclose((u * s) @ vh, best, atol=1e-6)
+
+
 class TestMpsWithEighSvd:
     def test_mps_engine_parity(self):
         """The whole MPS stack reproduces its LAPACK-SVD results when forced
@@ -84,6 +123,31 @@ class TestMpsWithEighSvd:
             )
         finally:
             set_eigh_svd(None)
+            jax.clear_caches()
+        np.testing.assert_allclose(got, ref, atol=1e-8)
+
+    def test_mps_engine_parity_gram(self):
+        """MPS stack state parity: gram SVD vs LAPACK SVD."""
+        from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+        from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+        from aqc_research_tpu.ops import mps as mpsop
+        from aqc_research_tpu.utils import rand_thetas
+
+        import jax
+
+        n = 4
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 2), True)
+        thetas = rand_thetas(circ.num_thetas)
+        ini = mpsop.mps_zero(n, 8)
+        try:
+            set_svd_impl("native")
+            jax.clear_caches()
+            ref = np.asarray(mpsop.mps_to_vector(mpsop.v_mul_mps(circ, thetas, ini)))
+            set_svd_impl("gram")
+            jax.clear_caches()
+            got = np.asarray(mpsop.mps_to_vector(mpsop.v_mul_mps(circ, thetas, ini)))
+        finally:
+            set_svd_impl(None)
             jax.clear_caches()
         np.testing.assert_allclose(got, ref, atol=1e-8)
 
