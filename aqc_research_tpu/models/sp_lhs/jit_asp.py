@@ -220,6 +220,11 @@ def optimize_horizon_mps_jit(
     the layer-batched analytic MPS co-sweep gradient run inside one jitted
     compact-L-BFGS loop.  ``base_bits`` encodes the X-layer product prep
     (e.g. the Neel state)."""
+    if len(base_bits) != circ.num_qubits:
+        raise ValueError(
+            f"base_bits must give one 0/1 occupation per site: got "
+            f"{len(base_bits)} for {circ.num_qubits} qubits"
+        )
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
     return _optimize_horizon_mps(
         circ,

@@ -86,8 +86,11 @@ def svd_top_k(m: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array, jax.Array
     # Each complex direction appears twice among the candidates; MGS over the
     # first 2*top_k (+ margin) recovers top_k orthonormal complex vectors.
     num_steps = min(2 * cols, 2 * top_k + 16)
-    scale = jnp.sqrt(jnp.maximum(w_desc[0], 0.0))
-    tol = 1e-5  # candidates are unit-norm reals; duplicates project to ~0
+    # Candidates are unit-norm; a duplicate's residual after projecting out
+    # its twin is O(eps * cond(M^H M)) — in f32 the squared conditioning
+    # pushes that to ~1e-2, so the keep/drop tolerance must be dtype-aware
+    # (a too-tight tol keeps duplicates and double-counts singular values).
+    tol = 1e-5 if jnp.finfo(jnp.real(m).dtype).bits >= 64 else 5e-2
     q_ortho, valid = _complex_mgs(cand, num_steps, tol)
 
     # Select the first top_k VALID columns (stable order by candidate index).

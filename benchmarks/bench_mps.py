@@ -5,8 +5,13 @@ Measures the steady-state rate of full analytic co-sweep gradients (objective
 reference implementation pays one full Aer C++ re-simulation per gate
 (SURVEY.md §3.4).
 
-Usage:  python benchmarks/bench_mps.py [num_qubits] [chi] [layers]
+Usage:  python benchmarks/bench_mps.py [num_qubits] [chi] [layers] [batch]
 Prints one JSON line with sweeps/sec.
+
+``batch`` > 1 vmaps the whole objective+gradient sweep over a fleet of theta
+vectors (the multistart pattern of parallel/multistart.py): the TPU SVD/eigh
+decompositions are latency-bound, so batching multiplies throughput at nearly
+constant wall time per step.  The reported rate is aggregate sweeps/sec.
 """
 
 from __future__ import annotations
@@ -21,7 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
+def main(num_qubits: int = 20, chi: int = 64, layers: int = 4, batch: int = 1):
     import jax.numpy as jnp
 
     from aqc_research_tpu.config import is_tpu, set_precision
@@ -61,9 +66,21 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
     def gnorm(g):
         return jnp.linalg.norm(jnp.real(g)).reshape(1).astype(jnp.float32)
 
+    def one_sweep(th):
+        vh = mpsop.v_dagger_mul_mps(circ, th, target, trunc_thr=trunc_thr)
+        return fast_dot_gradient(circ, th, lvec, vh, trunc_thr=trunc_thr)
+
+    if batch > 1:
+        # Fleet mode: one sweep per theta vector, vmapped (multistart SPMD).
+        rng = np.random.default_rng(1)
+        pert = 0.05 * rng.standard_normal((batch, circ.num_thetas))
+        thetas = thetas[None, :] + jnp.asarray(pert, thetas.dtype)
+        sweep = jax.jit(jax.vmap(one_sweep))
+    else:
+        sweep = jax.jit(one_sweep)
+
     tic = time.perf_counter()
-    vh = mpsop.v_dagger_mul_mps(circ, thetas, target, trunc_thr=trunc_thr)
-    g = fast_dot_gradient(circ, thetas, lvec, vh, trunc_thr=trunc_thr)
+    g = sweep(thetas)
     # FETCH a derived value: on some TPU runtimes failed executions surface
     # only at device->host transfer, not at block_until_ready — a fetch
     # proves the computation actually ran.
@@ -74,10 +91,9 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
     repeats = 5
     tic = time.perf_counter()
     for _ in range(repeats):
-        vh = mpsop.v_dagger_mul_mps(circ, thetas, target, trunc_thr=trunc_thr)
-        g = fast_dot_gradient(circ, thetas, lvec, vh, trunc_thr=trunc_thr)
+        g = sweep(thetas)
     g.block_until_ready()
-    per_sweep = (time.perf_counter() - tic) / repeats
+    per_step = (time.perf_counter() - tic) / repeats
 
     print(
         json.dumps(
@@ -85,11 +101,13 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
                 "metric": (
                     f"MPS objective+gradient sweeps/sec, {num_qubits}q chi={chi} "
                     f"{layers}-layer Trotter ansatz (trunc 1e-6)"
+                    + (f", fleet of {batch}" if batch > 1 else "")
                 ),
-                "value": round(1.0 / per_sweep, 4),
+                "value": round(batch / per_step, 4),
                 "unit": "sweeps/s",
                 "compile_s": round(compile_s, 1),
                 "num_thetas": circ.num_thetas,
+                "batch": batch,
                 "grad_norm": round(norm_val, 6),  # fetched — proves execution
             }
         )
@@ -103,4 +121,4 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         argv.remove("--cpu")
-    main(*[int(a) for a in argv[:3]])
+    main(*[int(a) for a in argv[:4]])

@@ -43,7 +43,8 @@ def main(num_qubits: int = 12, chi: int = 32, layers: int = 2, maxiter: int = 20
     thetas0 = thetas0 + 0.1 * rng.standard_normal(circ.num_thetas)
 
     ini = trotop.neel_init_state(num_qubits)
-    base_bits = [q for q in range(num_qubits) if q % 2 == 1]
+    # Per-site 0/1 occupation of the Neel prep (tests/test_jit_asp.py:117).
+    base_bits = [1 if q % 2 == 0 else 0 for q in range(num_qubits)]
     target = trotop.Trotter(
         num_qubits=num_qubits,
         evol_time=evol_time,

@@ -55,6 +55,28 @@ class TestSvdTopK:
         np.testing.assert_allclose((u * s) @ vh, m, atol=1e-7)
 
 
+class TestSvdTopKFloat32:
+    def test_f32_no_duplicate_directions(self):
+        """In f32 the squared conditioning makes duplicate candidates noisy;
+        the dtype-aware MGS tolerance must still reject all of them (a kept
+        duplicate double-counts a singular value)."""
+        rng = np.random.default_rng(6)
+        m = (rng.normal(size=(128, 128)) + 1j * rng.normal(size=(128, 128))).astype(
+            np.complex64
+        )
+        k = 64
+        u, s, vh = (np.asarray(x) for x in svd_top_k(m, k))
+        s_ref = np.linalg.svd(m, compute_uv=False)[:k]
+        np.testing.assert_allclose(s, s_ref, rtol=2e-2)
+        np.testing.assert_allclose(
+            u.conj().T @ u, np.eye(k), atol=2e-2
+        )
+        uu, ss, vv = np.linalg.svd(m)
+        best = (uu[:, :k] * ss[:k]) @ vv[:k]
+        err = np.max(np.abs((u * s) @ vh - best)) / np.max(np.abs(best))
+        assert err < 5e-2, err
+
+
 class TestSvdGramTopK:
     """Gram-matrix complex-eigh truncated SVD (the TPU fast path)."""
 
