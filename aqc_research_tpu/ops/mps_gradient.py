@@ -370,10 +370,17 @@ def _env_stacks(w: MPS, z: MPS):
     return aw, az, l_stack, r_stack
 
 
-def _batched_dots(w: MPS, z: MPS, pauli_mats: jax.Array, sites):
-    """All ``<P_k w | z>`` for distinct sites in one batched contraction."""
+def _dots_from_stacks(w: MPS, z: MPS, l_stack, r_stack, pauli_mats, sites):
+    """All ``<P_k w | z>`` for distinct sites in one batched contraction,
+    against PRE-BUILT environment stacks.
+
+    Validity: the stacks may be reused across 1-qubit gate applications that
+    hit BOTH w and z with the same unitary g — the per-site transfer matrix
+    ``sum_s conj(A^w_s) (x) A^z_s`` is invariant under A -> g A on both states
+    (unitarity of g), so every L[q]/R[q] stays exact.  Only the dot site's
+    CURRENT tensors enter here."""
     idx = np.asarray(sites, dtype=int)
-    aw, az, l_stack, r_stack = _env_stacks(w, z)
+    aw, az = _folded_all(w), _folded_all(z)
 
     def one(l_env, taw, taz, r_env, p):
         paw = jnp.einsum("ij,jab->iab", p.astype(taw.dtype), taw)
@@ -384,6 +391,36 @@ def _batched_dots(w: MPS, z: MPS, pauli_mats: jax.Array, sites):
     return jax.vmap(one)(
         l_stack[idx], aw[idx], az[idx], r_stack[idx + 1], pauli_mats
     )
+
+
+def _batched_dots(w: MPS, z: MPS, pauli_mats: jax.Array, sites):
+    """All ``<P_k w | z>`` for distinct sites in one batched contraction."""
+    _, _, l_stack, r_stack = _env_stacks(w, z)
+    return _dots_from_stacks(w, z, l_stack, r_stack, pauli_mats, sites)
+
+
+def _apply_pairs_both(w: MPS, z: MPS, gates, los, trunc_thr):
+    """Applies the same batched pair gates to w and z.
+
+    When the bond dimensions match, the two states stack into ONE batched
+    SVD phase (leading vmap axis) — halving the number of latency-bound
+    decomposition phases per half-layer."""
+    from .mps import apply_pairs_mps
+
+    if w.chi == z.chi and w.gammas.dtype == z.gammas.dtype:
+        wz = MPS(
+            jnp.stack([w.gammas, z.gammas]), jnp.stack([w.lambdas, z.lambdas])
+        )
+        wz = jax.vmap(
+            lambda m: apply_pairs_mps(m, gates, los, trunc_thr=trunc_thr)
+        )(wz)
+        return (
+            MPS(wz.gammas[0], wz.lambdas[0]),
+            MPS(wz.gammas[1], wz.lambdas[1]),
+        )
+    w = apply_pairs_mps(w, gates, los, trunc_thr=trunc_thr)
+    z = apply_pairs_mps(z, gates, los, trunc_thr=trunc_thr)
+    return w, z
 
 
 def _layered_plan(circ: Ansatz):
@@ -439,7 +476,7 @@ def _half_layer_cosweep(
 ):
     """Processes one chessboard half-layer; returns (w, z, dots (bpl, 4))
     with rows only for this group's blocks filled (others zero)."""
-    from .mps import apply_1q_many, apply_pairs_mps
+    from .mps import apply_1q_many
 
     n = circ.num_qubits
     y_mat, z_mat, x_mat = G.y(dtype), G.z(dtype), G.x(dtype)
@@ -454,8 +491,12 @@ def _half_layer_cosweep(
             # Leading triplet framing Rz(-pi/2) on ctrl (= hi) folds into E.
             ent = jnp.matmul(ent, _rz_frame_lo_hi(-np.pi / 2, True, dtype))
         gates = jnp.broadcast_to(ent, (len(los), 4, 4))
-        w = apply_pairs_mps(w, gates, los, trunc_thr=trunc_thr)
-        z = apply_pairs_mps(z, gates, los, trunc_thr=trunc_thr)
+        w, z = _apply_pairs_both(w, z, gates, los, trunc_thr)
+
+        # One environment-stack build serves all four spec dots below: the
+        # 1-qubit spec gates hit both states, so every transfer matrix (and
+        # hence L/R) is invariant — see _dots_from_stacks.
+        _, _, l_stack, r_stack = _env_stacks(w, z)
 
         blk = [3 * t + b for t in tidx]  # block indices within the layer
         th = layer_thetas[jnp.asarray(blk)]  # (P, tpb)
@@ -474,7 +515,11 @@ def _half_layer_cosweep(
             w = apply_1q_many(w, g1q, sites)
             z = apply_1q_many(z, g1q, sites)
             paulis = jnp.broadcast_to(pauli, (len(sites), 2, 2))
-            vals = 0.5j * _batched_dots(w, z, paulis, sites) * msk.astype(dtype)
+            vals = (
+                0.5j
+                * _dots_from_stacks(w, z, l_stack, r_stack, paulis, sites)
+                * msk.astype(dtype)
+            )
             dots_rows = dots_rows.at[jnp.asarray(blk), col].add(vals)
 
         if b == 2:
@@ -493,13 +538,19 @@ def _front_cosweep_batched(circ, thetas1q, w: MPS, z: MPS, front_layer, dtype):
     sites = tuple(range(n))
     y_mat, z_mat = G.y(dtype), G.z(dtype)
     grads = jnp.zeros((n, 3), dtype)
+    # One stack build serves all three dot rounds (1q gates hit both states,
+    # so the environments are invariant — see _dots_from_stacks).
+    if front_layer:
+        _, _, l_stack, r_stack = _env_stacks(w, z)
     for col, (gate_fn, pauli) in ((2, (G.rz, z_mat)), (1, (G.ry, y_mat)), (0, (G.rz, z_mat))):
         g1q = gate_fn(thetas1q[:, col], dtype)
         w = apply_1q_many(w, g1q, sites)
         z = apply_1q_many(z, g1q, sites)
         if front_layer:
             paulis = jnp.broadcast_to(pauli, (n, 2, 2))
-            grads = grads.at[:, col].set(0.5j * _batched_dots(w, z, paulis, sites))
+            grads = grads.at[:, col].set(
+                0.5j * _dots_from_stacks(w, z, l_stack, r_stack, paulis, sites)
+            )
     return w, z, grads
 
 

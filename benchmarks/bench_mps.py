@@ -66,18 +66,23 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4, batch: int = 1):
     def gnorm(g):
         return jnp.linalg.norm(jnp.real(g)).reshape(1).astype(jnp.float32)
 
-    def one_sweep(th):
-        vh = mpsop.v_dagger_mul_mps(circ, th, target, trunc_thr=trunc_thr)
-        return fast_dot_gradient(circ, th, lvec, vh, trunc_thr=trunc_thr)
+    # target/lvec must be TRACED arguments: letting jit close over
+    # device-resident complex arrays fails on this runtime (CLAUDE.md).
+    def one_sweep(th, tgt, lv):
+        vh = mpsop.v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+        return fast_dot_gradient(circ, th, lv, vh, trunc_thr=trunc_thr)
 
     if batch > 1:
         # Fleet mode: one sweep per theta vector, vmapped (multistart SPMD).
         rng = np.random.default_rng(1)
         pert = 0.05 * rng.standard_normal((batch, circ.num_thetas))
         thetas = thetas[None, :] + jnp.asarray(pert, thetas.dtype)
-        sweep = jax.jit(jax.vmap(one_sweep))
+        sweep_fn = jax.jit(jax.vmap(one_sweep, in_axes=(0, None, None)))
     else:
-        sweep = jax.jit(one_sweep)
+        sweep_fn = jax.jit(one_sweep)
+
+    def sweep(th):
+        return sweep_fn(th, target, lvec)
 
     tic = time.perf_counter()
     g = sweep(thetas)
