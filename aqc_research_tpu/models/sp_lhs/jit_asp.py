@@ -204,6 +204,60 @@ def _optimize_horizon_mps(
     return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
 
 
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _optimize_horizon_mps_batch(
+    circ: Ansatz,
+    x0_batch,
+    tgt,
+    base_bits: tuple,
+    trunc_thr: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+) -> JitHorizonResult:
+    return jax.vmap(
+        lambda x0: _optimize_horizon_mps(
+            circ, x0, tgt, base_bits, trunc_thr, fobj_thr, maxiter,
+            no_improve_iters,
+        )
+    )(x0_batch)
+
+
+def optimize_horizon_mps_multistart(
+    circ: Ansatz,
+    thetas0_batch,
+    target,  # MPS
+    *,
+    base_bits: Sequence[int],
+    trunc_thr: float = 1e-6,
+    fidelity_thr: Optional[float] = None,
+    maxiter: int = 100,
+    no_improve_iters: Optional[int] = None,
+) -> JitHorizonResult:
+    """Multi-start MPS ASP horizon optimization: B fully-on-device L-BFGS
+    instances in lock-step inside one XLA program.  On TPU the MPS engine's
+    decompositions are latency-bound, so the fleet runs at nearly the wall
+    time of ONE instance — the SPMD replacement of the reference's joblib
+    fan-out (job_executor.py:96-161) for the MPS objective.  Returns batched
+    results; pick ``argmin(res.fobj)`` for the winner."""
+    if len(base_bits) != circ.num_qubits:
+        raise ValueError(
+            f"base_bits must give one 0/1 occupation per site: got "
+            f"{len(base_bits)} for {circ.num_qubits} qubits"
+        )
+    fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
+    return _optimize_horizon_mps_batch(
+        circ,
+        jnp.asarray(thetas0_batch),
+        target,
+        tuple(int(b) for b in base_bits),
+        float(trunc_thr),
+        fobj_thr,
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
+    )
+
+
 def optimize_horizon_mps_jit(
     circ: Ansatz,
     thetas0,

@@ -124,3 +124,35 @@ class TestJitAsp:
         )
         assert float(res.fidelity) > 0.9999
         assert bool(res.converged)
+
+    def test_mps_multistart_horizon(self):
+        """Batched MPS fleet: B on-device L-BFGS instances in one program."""
+        import aqc_research_tpu.targets.trotter as trotop2
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            optimize_horizon_mps_multistart,
+        )
+
+        n, evol_time = 3, 0.6
+        ini = trotop2.neel_init_state(n)
+        target_mps = trotop2.Trotter(
+            num_qubits=n, evol_time=evol_time, num_steps=20, delta=1.0,
+            second_order=True,
+        ).as_mps(ini, trunc_thr=1e-12, chi_max=8)
+        circ, thetas0, _, _ = _setup(n=n, layers=1, evol_time=evol_time)
+        base_bits = tuple((1 if k % 2 == 0 else 0) for k in range(n))
+
+        batch = np.stack(
+            [thetas0 + 0.1 * np.random.randn(thetas0.size) for _ in range(3)]
+        )
+        res = optimize_horizon_mps_multistart(
+            circ, batch, target_mps,
+            base_bits=base_bits, trunc_thr=1e-10,
+            fidelity_thr=0.999, maxiter=80,
+        )
+        assert res.fobj.shape == (3,)
+        best = int(np.argmin(np.asarray(res.fobj)))
+        assert float(res.fidelity[best]) > 0.999
+        with pytest.raises(ValueError):
+            optimize_horizon_mps_multistart(
+                circ, batch, target_mps, base_bits=(1, 0), maxiter=1
+            )
