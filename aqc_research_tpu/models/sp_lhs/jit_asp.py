@@ -235,11 +235,12 @@ def optimize_horizon_mps_multistart(
     no_improve_iters: Optional[int] = None,
 ) -> JitHorizonResult:
     """Multi-start MPS ASP horizon optimization: B fully-on-device L-BFGS
-    instances in lock-step inside one XLA program.  On TPU the MPS engine's
-    decompositions are latency-bound, so the fleet runs at nearly the wall
-    time of ONE instance — the SPMD replacement of the reference's joblib
-    fan-out (job_executor.py:96-161) for the MPS objective.  Returns batched
-    results; pick ``argmin(res.fobj)`` for the winner."""
+    instances in lock-step inside one XLA program — the SPMD replacement of
+    the reference's joblib fan-out (job_executor.py:96-161) for the MPS
+    objective.  One program + one dispatch for the whole fleet; measured
+    aggregate throughput is platform-dependent (batched decompositions do
+    NOT amortize on all TPU runtimes — see RESULTS.md), so benchmark before
+    sizing B.  Returns batched results; ``argmin(res.fobj)`` is the winner."""
     if len(base_bits) != circ.num_qubits:
         raise ValueError(
             f"base_bits must give one 0/1 occupation per site: got "
