@@ -20,7 +20,7 @@ from ...ops.coord_descent import coord_descent_single_sweep
 from ...ops.statevector import ansatz_to_matrix
 from ...optim import stoppers as aqcopt
 from ...parallel.executor import run_jobs
-from ...utils import create_logger, prepare_output_folder, print_options
+from ...utils import create_logger, prepare_output_folder, print_options, to_host
 from . import sk_utils as sku
 
 
@@ -74,7 +74,7 @@ def _single_simulation(job_index: int, config: dict) -> dict:
     except TimeoutError:
         result["exit_status"] = "timeout"
     finally:
-        fid = sku.fidelity(np.asarray(ansatz_to_matrix(circ, thetas_best)), target)
+        fid = sku.fidelity(to_host(ansatz_to_matrix(circ, thetas_best)), target)
         result.update(
             {
                 "cost": float(fobj_best),

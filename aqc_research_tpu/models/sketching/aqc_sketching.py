@@ -21,7 +21,7 @@ from ...ops.statevector import ansatz_to_matrix
 from ...optim import optimizer as aqcopt_optimizer
 from ...optim import stoppers as aqcopt
 from ...parallel.executor import run_jobs
-from ...utils import create_logger, prepare_output_folder, print_options
+from ...utils import create_logger, prepare_output_folder, print_options, to_host
 from . import sk_core as skc
 from . import sk_utils as sku
 
@@ -141,7 +141,7 @@ def _single_simulation(job_index: int, config: dict) -> dict:
             logger=logger,
         )
 
-    ansatz_matrix = np.asarray(ansatz_to_matrix(circ, result["thetas"]))
+    ansatz_matrix = to_host(ansatz_to_matrix(circ, result["thetas"]))
     result["fidelity"] = sku.fidelity(ansatz_matrix, config["su_target"])
     result["nit"] = result["num_iters"]
     result["ini_thetas"] = thetas_0

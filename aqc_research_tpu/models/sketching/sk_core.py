@@ -29,6 +29,7 @@ from ...circuit.ansatz import Ansatz
 from ...config import complex_dtype
 from ...ops.gradients import grad_of_matrix_dot_product
 from ...ops.statevector import v_dagger_mul_mat
+from ...utils import to_host
 from ...optim.stoppers import (
     GradientAmplifier,
     NotImproveStopper,
@@ -262,7 +263,7 @@ class EigenSketchingVectors(SketchingVectorsBase):
 
         omega = np.random.randn(dim, m) + 1j * np.random.randn(dim, m)
         uh_omega = target.conj().T @ omega
-        vh_omega = np.asarray(
+        vh_omega = to_host(
             v_dagger_mul_mat(circ, thetas, jnp.asarray(omega, np.dtype(complex_dtype())))
         )
         x, _r = np.linalg.qr(vh_omega - uh_omega)

@@ -24,7 +24,7 @@ from ...circuit.export import ansatz_to_program
 from ...circuit.structures import create_ansatz_structure, num_blocks_per_layer
 from ...ops.statevector import ansatz_to_matrix
 from ...targets import generator as targen
-from ...utils import create_logger, logi, num_cpus
+from ...utils import create_logger, logi, num_cpus, to_host
 
 _logger = create_logger(__file__)
 
@@ -89,7 +89,7 @@ def _circuit_from_best_result(
     )
     thetas = np.asarray(best_result["thetas"])
     program = ansatz_to_program(circ, thetas)
-    circ_matrix = np.asarray(ansatz_to_matrix(circ, thetas))
+    circ_matrix = to_host(ansatz_to_matrix(circ, thetas))
 
     global_phase = 0.0
     tol = float(np.sqrt(np.finfo(np.float64).eps))
@@ -215,7 +215,7 @@ def create_target_matrix(
             logger=logger,
         )
         target_thetas = np.random.uniform(0, 2 * np.pi, circ.num_thetas)
-        target_mat = np.asarray(ansatz_to_matrix(circ, target_thetas))
+        target_mat = to_host(ansatz_to_matrix(circ, target_thetas))
     else:
         logi(logger, f"target: {target_name_or_func}")
         target_mat = targen.make_target_matrix(target_name_or_func, num_qubits)

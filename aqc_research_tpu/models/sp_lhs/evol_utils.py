@@ -23,7 +23,7 @@ from ...circuit.export import ansatz_to_program
 from ...circuit.program import GateProgram, program_to_state
 from ...ops import mps as mpsop
 from ...ops.statevector import v_mul_vec
-from ...utils import copy_file_to_folder, create_logger, zero_state
+from ...utils import copy_file_to_folder, create_logger, to_host, zero_state
 from .user_options import UserOptions
 
 _logger = create_logger(__file__)
@@ -87,10 +87,10 @@ def get_solution_from_optim_result(
         return mpsop.v_mul_mps(circ, thetas, ini, trunc_thr=trunc_thr)
 
     if state_prep_func is not None:
-        state = np.asarray(program_to_state(state_prep_func(num_qubits), num_qubits))
+        state = to_host(program_to_state(state_prep_func(num_qubits), num_qubits))
     else:
         state = zero_state(num_qubits)
-    return np.asarray(v_mul_vec(circ, thetas, state))
+    return to_host(v_mul_vec(circ, thetas, state))
 
 
 def save_optim_results(
@@ -106,7 +106,7 @@ def save_optim_results(
     best_cost = f"{results[0]['cost']:0.8f}"
     filename = f"trotter{tag}_n{results[0]['num_qubits']}__c{best_cost}.pkl"
     if isinstance(target, mpsop.MPS):
-        target = (np.asarray(target.gammas), np.asarray(target.lambdas))
+        target = (to_host(target.gammas), np.asarray(target.lambdas))
     with open(os.path.join(output_dir, filename), "wb") as fld:
         pickle.dump({"results": results, "target": target}, fld)
         _logger.info("results have been written in the file: %s", fld.name)

@@ -19,6 +19,7 @@ import itertools
 from abc import ABC, abstractmethod
 from typing import Callable, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,7 +28,7 @@ from ...circuit.ansatz import Ansatz, TrotterAnsatz
 from ...circuit.program import GateProgram, ProgramBuilder, program_to_state
 from ...config import complex_dtype
 from ...optim.stoppers import EarlyStopper, TimeoutChecker
-from ...utils import create_logger
+from ...utils import create_logger, to_host
 
 _logger = create_logger(__file__)
 
@@ -35,6 +36,15 @@ _logger = create_logger(__file__)
 # -----------------------------------------------------------------------------
 # Flip-state handlers (cf. objective_base.py:42-430).
 # -----------------------------------------------------------------------------
+
+
+def _host_pick(vec, idx):
+    """Elements ``vec[idx]`` on the host.  Gathers on device first and
+    fetches via to_host — complex device->host transfers of whole buffers
+    fail on some TPU runtimes (CLAUDE.md)."""
+    if isinstance(vec, jax.Array):
+        return to_host(vec[jnp.asarray(np.atleast_1d(idx))])
+    return np.asarray(vec)[np.atleast_1d(idx)]
 
 
 class ThinStateHandler:
@@ -82,7 +92,7 @@ class ThinStateHandler:
     def state_dot_vector(self, state_no: int, vec) -> complex:
         """``<state|vec>`` — a single element pick."""
         assert chk.is_int(state_no, 0 <= state_no < self.num_states)
-        return complex(np.asarray(vec)[self._state_idx[state_no]])
+        return complex(_host_pick(vec, self._state_idx[state_no])[0])
 
     def init_composite_state_no_zero(self, coefs: np.ndarray) -> np.ndarray:
         """Linear combination of the flip states (|0> excluded)."""
@@ -102,11 +112,11 @@ class ThinStateHandler:
 
     def composite_state_dot_vector_no_zero(self, coefs, vec) -> complex:
         assert coefs.size == self.num_states - 1
-        return complex(np.vdot(coefs, np.asarray(vec)[self._state_idx[1:]]))
+        return complex(np.vdot(coefs, _host_pick(vec, self._state_idx[1:])))
 
     def composite_state_dot_vector(self, coefs, vec) -> complex:
         assert coefs.size == self.num_states
-        return complex(np.vdot(coefs, np.asarray(vec)[self._state_idx]))
+        return complex(np.vdot(coefs, _host_pick(vec, self._state_idx)))
 
     @property
     def num_states(self) -> int:
@@ -155,7 +165,7 @@ class GenericStateHandler:
             prog = qb.build()
             if state_prep_func is not None:
                 prog = prog + tuple(state_prep_func(num_qubits))
-            self._states[i] = np.asarray(program_to_state(prog, num_qubits))
+            self._states[i] = to_host(program_to_state(prog, num_qubits))
 
     @property
     def states_matrix(self) -> np.ndarray:
@@ -168,7 +178,7 @@ class GenericStateHandler:
 
     def state_dot_vector(self, state_no: int, vec) -> complex:
         assert chk.is_int(state_no, 0 <= state_no < self.num_states)
-        return complex(np.vdot(self._states[state_no], np.asarray(vec)))
+        return complex(np.vdot(self._states[state_no], to_host(vec)))
 
     @property
     def state0(self) -> np.ndarray:
@@ -233,7 +243,7 @@ class MpsStateHandler:
         from ...ops import mps as mpsop
 
         assert chk.is_int(state_no, 0 <= state_no < self.num_states)
-        return complex(np.asarray(mpsop.mps_dot(self._states[state_no], vec)))
+        return complex(to_host(mpsop.mps_dot(self._states[state_no], vec)))
 
     @property
     def state0(self):

@@ -18,7 +18,7 @@ from ...circuit.ansatz import Ansatz, TrotterAnsatz, first_layer_included, layer
 from ...ops import mps as mpsop
 from ...ops.mps_gradient import fast_dot_gradient
 from ...optim.stoppers import GradientAmplifier
-from ...utils import create_logger
+from ...utils import create_logger, to_host
 from . import objective_base as obj_base
 
 _logger = create_logger(__file__)
@@ -82,7 +82,8 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
             self._circuit, thetas, self.target, trunc_thr=self._trunc_thr
         )
         if self._base_bits is not None:
-            amps = np.asarray(
+            # to_host: complex device->host transfer (CLAUDE.md).
+            amps = to_host(
                 mpsop.mps_flip_amplitudes(self._vh_target, self._base_bits)
             )
             np.copyto(self._hs, amps)
@@ -114,7 +115,7 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
         block_range = layer_to_block_range(circ, self._layer_range)
         optimize_front_layer = first_layer_included(circ, self._layer_range)
 
-        grad_0 = np.array(
+        grad_0 = to_host(
             fast_dot_gradient(
                 circ,
                 thetas,
@@ -132,7 +133,7 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
         else:
             grad_0 *= -2 * (1 - self._weight) * np.conj(self._hs[0])
             full_grad = grad_0.real.copy()
-            grad_max = np.array(
+            grad_max = to_host(
                 fast_dot_gradient(
                     circ,
                     thetas,

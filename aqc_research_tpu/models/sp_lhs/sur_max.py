@@ -27,7 +27,7 @@ from ...circuit.ansatz import Ansatz
 from ...ops.gradients import grad_of_dot_product
 from ...ops.statevector import v_dagger_mul_vec
 from ...optim.stoppers import GradientAmplifier
-from ...utils import create_logger
+from ...utils import create_logger, to_host
 from . import objective_base as obj_base
 
 _logger = create_logger(__file__)
@@ -91,7 +91,7 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
                 self._circuit, thetas, self._target, jnp.asarray(handler.states_matrix)
             )
         self._vh_target = vh
-        self._hs = np.asarray(hs)
+        self._hs = to_host(hs)
         np.copyto(self._hs2, np.abs(self._hs) ** 2)
 
         # Hysteresis: switch the leading state only on a clearly better one
@@ -117,7 +117,7 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
             self._front_layer or self._block_range == (0, self._circuit.num_blocks)
         )
 
-        grad_0 = np.array(
+        grad_0 = to_host(
             grad_of_dot_product(
                 self._circuit,
                 thetas,
@@ -134,7 +134,7 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
         else:
             grad_0 *= -2 * (1 - self._weight) * np.conj(self._hs[0])
             full_grad = grad_0.real.copy()
-            grad_max = np.array(
+            grad_max = to_host(
                 grad_of_dot_product(
                     self._circuit,
                     thetas,

@@ -22,7 +22,7 @@ import numpy as np
 from ... import checking as chk
 from ...ops import mps as mpsop
 from ...targets import trotter as trotop
-from ...utils import MyTimer, create_logger
+from ...utils import MyTimer, create_logger, to_host
 
 _logger = create_logger(__file__)
 
@@ -71,7 +71,9 @@ class TargetMpsState:
         # portable across backends).
         for key in ("t1_gt", "t1"):
             m = state[key]
-            state[key] = (np.asarray(m.gammas), np.asarray(m.lambdas))
+            # to_host: complex device->host transfers fail on some TPU
+            # runtimes (CLAUDE.md) — split into real/imag on device.
+            state[key] = (to_host(m.gammas), np.asarray(m.lambdas))
         return state
 
     def __setstate__(self, state):
@@ -229,8 +231,8 @@ class TargetClassicState:
         self.delta = float(opts.delta)
         self.evol_time = float(evol_time)
         self.my_id = int(my_id)
-        self.t1_gt = np.asarray(t1_gt)
-        self.t1 = np.asarray(t1)
+        self.t1_gt = to_host(t1_gt)
+        self.t1 = to_host(t1)
         self.second_order = bool(second_order)
 
     @staticmethod
@@ -270,7 +272,7 @@ def generate_classic_target(
 
     timer = MyTimer()
     with timer("|t1_gt>"):
-        t1_gt = np.asarray(
+        t1_gt = to_host(
             trotop.Trotter(
                 num_qubits=num_qubits,
                 evol_time=evol_time,
@@ -280,7 +282,7 @@ def generate_classic_target(
             ).as_vector(_ini_program())
         )
     with timer("|t1>"):
-        t1 = np.asarray(
+        t1 = to_host(
             trotop.Trotter(
                 num_qubits=num_qubits,
                 evol_time=evol_time,

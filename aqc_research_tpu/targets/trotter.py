@@ -410,6 +410,11 @@ class Trotter:
 # -----------------------------------------------------------------------------
 
 
+@jax.jit
+def _abs2(x):
+    return (jnp.abs(x) ** 2).real
+
+
 def fidelity(state1, state2) -> float:
     """``|<s1|s2>|^2`` for dense vectors or MPS states (same type)."""
     if not isinstance(state1, (np.ndarray, jax.Array)) or not isinstance(
@@ -417,13 +422,21 @@ def fidelity(state1, state2) -> float:
     ):
         from ..ops import mps as mpsop
 
-        return float(np.abs(np.asarray(mpsop.mps_dot(state1, state2))) ** 2)
+        # Fetch a REAL scalar: complex device->host transfers fail on some
+        # TPU runtimes (CLAUDE.md).
+        return float(np.asarray(_abs2(mpsop.mps_dot(state1, state2))))
+    if isinstance(state1, jax.Array) or isinstance(state2, jax.Array):
+        from ..utils import to_host
+
+        return float(np.abs(np.vdot(to_host(state1), to_host(state2))) ** 2)
     return float(np.abs(np.vdot(np.asarray(state1), np.asarray(state2))) ** 2)
 
 
 def state_difference(state1, state2) -> float:
     """``||s1 - s2||`` — phase-sensitive distance."""
-    return float(np.linalg.norm(np.asarray(state1) - np.asarray(state2)))
+    from ..utils import to_host
+
+    return float(np.linalg.norm(to_host(state1) - to_host(state2)))
 
 
 # -----------------------------------------------------------------------------

@@ -115,6 +115,21 @@ class TestSvdGramTopK:
         best = (uu[:, :5] * ss[:5]) @ vv[:5]
         np.testing.assert_allclose((u * s) @ vh, best, atol=1e-6)
 
+    def test_f32_pair_update_size(self):
+        """f32 at the production pair-update size (the TPU fast path)."""
+        rng = np.random.default_rng(7)
+        m = (rng.normal(size=(128, 128)) + 1j * rng.normal(size=(128, 128))).astype(
+            np.complex64
+        )
+        k = 64
+        u, s, vh = (np.asarray(x) for x in svd_gram_top_k(m, k))
+        s_ref = np.linalg.svd(m, compute_uv=False)[:k]
+        np.testing.assert_allclose(s, s_ref, rtol=2e-2)
+        uu, ss, vv = np.linalg.svd(m)
+        best = (uu[:, :k] * ss[:k]) @ vv[:k]
+        err = np.max(np.abs((u * s) @ vh - best)) / np.max(np.abs(best))
+        assert err < 5e-2, err
+
 
 class TestMpsWithEighSvd:
     def test_mps_engine_parity(self):
