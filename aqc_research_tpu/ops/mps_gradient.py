@@ -464,6 +464,45 @@ def _rz_frame_lo_hi(angle, on_hi: bool, dtype):
     return G.kron2(eye, rz) if on_hi else G.kron2(rz, eye)
 
 
+def _pair_env_tensors(w: MPS, z: MPS, l_stack, r_stack, los):
+    """The 4x4 two-site environment tensors N_p of <w|z> at pairs (lo, lo+1).
+
+    ``N[uv, st]`` contracts everything EXCEPT the pair's physical legs, so for
+    any pair-local operator Y the restricted transfer is
+    ``<(Y w)|z> = sum(conj(Y) * N)`` — all per-parameter dots of a triplet
+    then reduce to 4x4 algebra against one N."""
+    idx = np.asarray(los, dtype=int)
+    aw, az = _folded_all(w), _folded_all(z)
+
+    def one(l_env, awl, awh, azl, azh, r_env):
+        tw = jnp.einsum("sam,tmb->stab", awl, awh)
+        tz = jnp.einsum("uAM,vMB->uvAB", azl, azh)
+        tz = jnp.einsum("uvAB,bB->uvAb", tz, r_env)
+        x = jnp.einsum("aA,stab->stAb", l_env, jnp.conj(tw))
+        return jnp.einsum("stAb,uvAb->uvst", x, tz)
+
+    n4 = jax.vmap(one)(
+        l_stack[idx], aw[idx], aw[idx + 1], az[idx], az[idx + 1], r_stack[idx + 2]
+    )
+    return n4.reshape(len(los), 4, 4)  # rows = z phys (u,v), cols = w phys (s,t)
+
+
+def _embed_1q_batch(g, on_hi: bool):
+    """Batched 1q gates (P, 2, 2) embedded as 4x4 in lo-major ordering."""
+    eye = jnp.eye(2, dtype=g.dtype)
+    if on_hi:
+        out = jnp.einsum("ij,pkl->pikjl", eye, g)
+    else:
+        out = jnp.einsum("pij,kl->pikjl", g, eye)
+    return out.reshape(g.shape[0], 4, 4)
+
+
+def _embed_pauli(p, on_hi: bool):
+    eye = jnp.eye(2, dtype=p.dtype)
+    out = jnp.kron(eye, p) if on_hi else jnp.kron(p, eye)
+    return out
+
+
 def _half_layer_cosweep(
     circ,
     group,
@@ -475,58 +514,63 @@ def _half_layer_cosweep(
     dtype,
 ):
     """Processes one chessboard half-layer; returns (w, z, dots (bpl, 4))
-    with rows only for this group's blocks filled (others zero)."""
-    from .mps import apply_1q_many
+    with rows only for this group's blocks filled (others zero).
 
-    n = circ.num_qubits
+    All three blocks of a triplet act on the SAME pair, so the whole triplet
+    (entanglers, framings, parameterized 1q gates) composes into one 4x4 F_p
+    per pair: the states take ONE truncated pair update (instead of three),
+    and every per-parameter dot <P w_k|z_k> mid-triplet equals
+    ``sum(conj(U_k^H P U_k) * N_p)`` with U_k the pair-local gate prefix and
+    N_p the pre-triplet environment tensor — exact pair-local algebra, no
+    intermediate truncations."""
     y_mat, z_mat, x_mat = G.y(dtype), G.z(dtype), G.x(dtype)
     los = tuple(lo for _, lo in group)
     tidx = [t for t, _ in group]
+    P = len(los)
     dots_rows = jnp.zeros((circ.bpl, 4), dtype)
 
+    _, _, l_stack, r_stack = _env_stacks(w, z)
+    n4 = _pair_env_tensors(w, z, l_stack, r_stack, los)  # (P, 4, 4)
+
+    prefix = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (P, 4, 4))
+    half = 0.5j
     for b in range(3):
         ctrl_is_hi = b != 1  # triplet blocks 0/2 have ctrl = hi, block 1 flipped
         ent = _cx_lo_hi(ctrl_is_hi, dtype)
         if b == 0:
             # Leading triplet framing Rz(-pi/2) on ctrl (= hi) folds into E.
             ent = jnp.matmul(ent, _rz_frame_lo_hi(-np.pi / 2, True, dtype))
-        gates = jnp.broadcast_to(ent, (len(los), 4, 4))
-        w, z = _apply_pairs_both(w, z, gates, los, trunc_thr)
+        prefix = jnp.einsum("ij,pjk->pik", ent, prefix)
 
-        # One environment-stack build serves all four spec dots below: the
-        # 1-qubit spec gates hit both states, so every transfer matrix (and
-        # hence L/R) is invariant — see _dots_from_stacks.
-        _, _, l_stack, r_stack = _env_stacks(w, z)
-
-        blk = [3 * t + b for t in tidx]  # block indices within the layer
-        th = layer_thetas[jnp.asarray(blk)]  # (P, tpb)
-        msk = layer_masks[jnp.asarray(blk)]  # (P,)
-        ctrl_sites = tuple((lo + 1 if ctrl_is_hi else lo) for lo in los)
-        targ_sites = tuple((lo if ctrl_is_hi else lo + 1) for lo in los)
+        blk = jnp.asarray([3 * t + b for t in tidx])
+        th = layer_thetas[blk]  # (P, tpb)
+        msk = layer_masks[blk].astype(dtype)  # (P,)
 
         specs = [
-            (G.ry, y_mat, ctrl_sites, 0),
-            (G.rz, z_mat, ctrl_sites, 1),
-            (G.ry, y_mat, targ_sites, 2),
-            (G.rx, x_mat, targ_sites, 3),
+            (G.ry, y_mat, ctrl_is_hi, 0),  # on ctrl
+            (G.rz, z_mat, ctrl_is_hi, 1),  # on ctrl
+            (G.ry, y_mat, not ctrl_is_hi, 2),  # on targ
+            (G.rx, x_mat, not ctrl_is_hi, 3),  # on targ
         ]
-        for gate_fn, pauli, sites, col in specs:
-            g1q = gate_fn(th[:, col], dtype)  # (P, 2, 2)
-            w = apply_1q_many(w, g1q, sites)
-            z = apply_1q_many(z, g1q, sites)
-            paulis = jnp.broadcast_to(pauli, (len(sites), 2, 2))
-            vals = (
-                0.5j
-                * _dots_from_stacks(w, z, l_stack, r_stack, paulis, sites)
-                * msk.astype(dtype)
-            )
-            dots_rows = dots_rows.at[jnp.asarray(blk), col].add(vals)
+        for gate_fn, pauli, on_hi, col in specs:
+            g4 = _embed_1q_batch(gate_fn(th[:, col], dtype), on_hi)
+            prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
+            p4 = _embed_pauli(pauli, on_hi)
+            y4 = jnp.einsum(
+                "pji,jk,pkl->pil", jnp.conj(prefix), p4, prefix
+            )  # prefix^H P prefix
+            vals = half * jnp.einsum("pij,pij->p", jnp.conj(y4), n4) * msk
+            dots_rows = dots_rows.at[blk, col].add(vals)
 
         if b == 2:
             # Trailing triplet framing Rz(pi/2) on targ (= lo).
-            frame = jnp.broadcast_to(G.rz(np.pi / 2, dtype), (len(los), 2, 2))
-            w = apply_1q_many(w, frame, targ_sites)
-            z = apply_1q_many(z, frame, targ_sites)
+            frame = G.rz(np.pi / 2, dtype)
+            g4 = _embed_1q_batch(
+                jnp.broadcast_to(frame, (P, 2, 2)), not ctrl_is_hi
+            )
+            prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
+
+    w, z = _apply_pairs_both(w, z, prefix, los, trunc_thr)
     return w, z, dots_rows
 
 
