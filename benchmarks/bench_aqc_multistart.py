@@ -1,0 +1,150 @@
+"""BASELINE configs 1 and 4: 5q full AQC and batched multi-start ASP.
+
+Config 1 — full AQC: spin ansatz vs a dense Trotter-like target unitary,
+Frobenius-cost objective ``1 - Re<V,U>/2^n`` with the analytic matrix
+co-sweep gradient (reference aqc.ipynb defaults; sk_core "full" sketching).
+Reports evals/sec of the fused objective+gradient kernel.
+
+Config 4 — multi-start: optimize_horizon_multistart runs B on-device L-BFGS
+instances in lock-step (the vmap replacement of joblib's run_jobs).  Reports
+wall time for the fleet vs. B x the single-start time, plus the best
+fidelity (execution proof).
+
+Usage: python benchmarks/bench_aqc_multistart.py [num_qubits] [batch]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aqc_research_tpu.config import is_tpu, set_precision
+
+set_precision("fast" if is_tpu() else "high")
+
+import jax
+import jax.numpy as jnp
+
+import aqc_research_tpu.targets.trotter as trotop
+from aqc_research_tpu.circuit.ansatz import Ansatz, TrotterAnsatz
+from aqc_research_tpu.circuit.structures import create_ansatz_structure, make_trotter_like_circuit
+from aqc_research_tpu.models.sp_lhs.jit_asp import (
+    flip_state_indices,
+    optimize_horizon_jit,
+    optimize_horizon_multistart,
+)
+from aqc_research_tpu.ops.gradients import grad_of_matrix_dot_product
+from aqc_research_tpu.ops.statevector import v_dagger_mul_mat
+from aqc_research_tpu.utils import from_host, rand_thetas
+
+
+def bench_full_aqc(n: int = 5, depth: int = 160):
+    """Config 1: fused Frobenius objective + gradient evals/sec."""
+    blocks = create_ansatz_structure(n, "spin", depth=depth)
+    circ = Ansatz.make(n, "cx", blocks)
+    dim = 2**n
+    u = np.asarray(
+        trotop.exact_evolution(
+            trotop.make_hamiltonian(n, 1.0), np.eye(dim, dtype=complex), 1.0
+        )
+    )
+    u_dev = from_host(u.astype(np.complex64 if is_tpu() else np.complex128))
+    np.random.seed(0)
+    thetas = jnp.asarray(rand_thetas(circ.num_thetas))
+
+    @jax.jit
+    def obj_grad(th, tgt):
+        vh_u = v_dagger_mul_mat(circ, th, tgt)
+        hs = jnp.trace(vh_u) / dim
+        fobj = 1.0 - jnp.real(hs)
+        grad = grad_of_matrix_dot_product(circ, th, jnp.eye(dim, dtype=tgt.dtype), vh_u)
+        return fobj, jnp.real(-grad / dim)
+
+    f, g = obj_grad(thetas, u_dev)
+    f0 = float(np.asarray(f))  # fetch — proves execution
+    assert np.isfinite(f0) and 0 < f0 < 2, f0
+    repeats = 50
+    tic = time.perf_counter()
+    for _ in range(repeats):
+        f, g = obj_grad(thetas, u_dev)
+    g.block_until_ready()
+    dt = (time.perf_counter() - tic) / repeats
+    print(
+        json.dumps(
+            {
+                "metric": f"full-AQC fused objective+gradient evals/sec, {n}q spin depth {depth}",
+                "value": round(1.0 / dt, 2),
+                "unit": "evals/s",
+                "num_thetas": circ.num_thetas,
+                "fobj": round(f0, 6),
+            }
+        ),
+        flush=True,
+    )
+
+
+def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
+    """Config 4: fleet-of-B on-device L-BFGS vs one instance."""
+    evol_time, layers = 1.2, 2
+    circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, layers), True)
+    thetas0 = trotop.init_ansatz_to_trotter(
+        circ, np.zeros(circ.num_thetas), evol_time=evol_time, delta=1.0
+    )
+    rng = np.random.default_rng(3)
+    batch0 = thetas0[None, :] + 0.2 * rng.standard_normal((batch, circ.num_thetas))
+    ini = trotop.neel_init_state(n)
+    target = trotop.Trotter(
+        num_qubits=n, evol_time=evol_time, num_steps=6, delta=1.0,
+        second_order=True,
+    ).as_vector(ini)
+    idx = flip_state_indices(n, ini)
+
+    def run_single():
+        res = optimize_horizon_jit(
+            circ, batch0[0], target, state_idx=idx, maxiter=maxiter
+        )
+        return float(np.asarray(res.fobj))
+
+    def run_fleet():
+        res = optimize_horizon_multistart(
+            circ, batch0, target, state_idx=idx, maxiter=maxiter
+        )
+        return np.asarray(res.fobj)
+
+    f1 = run_single()  # compile + fetch
+    tic = time.perf_counter()
+    f1 = run_single()
+    t_single = time.perf_counter() - tic
+
+    fb = run_fleet()  # compile + fetch
+    tic = time.perf_counter()
+    fb = run_fleet()
+    t_fleet = time.perf_counter() - tic
+    assert np.all(np.isfinite(fb)), fb
+
+    print(
+        json.dumps(
+            {
+                "metric": f"multi-start ASP fleet efficiency, {n}q x {batch} starts, {maxiter} iters",
+                "value": round(batch * t_single / t_fleet, 2),
+                "unit": "x speedup vs sequential singles",
+                "t_single_s": round(t_single, 3),
+                "t_fleet_s": round(t_fleet, 3),
+                "best_fobj": round(float(fb.min()), 8),
+                "single_fobj": round(f1, 8),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    argv = [int(a) for a in sys.argv[1:3]]
+    bench_full_aqc()
+    bench_multistart(*(argv or [12, 8]))

@@ -121,3 +121,66 @@ class TestCheckpoint:
 
     def test_missing_returns_none(self, tmp_path):
         assert load_checkpoint(str(tmp_path / "nope")) is None
+
+
+class TestShardedMps:
+    def test_sharded_pair_updates_match(self):
+        """A half-layer of sharded pair updates matches the unsharded batch,
+        including the pad-to-multiple path (BASELINE config 5 design)."""
+        from aqc_research_tpu.ops.mps import apply_pairs_mps, rand_mps_vec
+        from aqc_research_tpu.parallel.mps_sharded import apply_pairs_mps_sharded
+        from aqc_research_tpu.circuit import gates as G
+
+        np.random.seed(3)
+        n, chi = 8, 8
+        mps = rand_mps_vec(n, num_layers=2, chi_max=chi)
+        los = (0, 2, 4)  # 3 pairs -> pads to 4 on a 4-device axis
+        rng = np.random.default_rng(5)
+        gates = []
+        for _ in los:
+            # random 2q unitary: product of 1q rotations + CX
+            g = np.kron(
+                np.asarray(G.np_ry(rng.uniform(-3, 3))),
+                np.asarray(G.np_rz(rng.uniform(-3, 3))),
+            )
+            cx = np.asarray(G.controlled(G.np_x()))
+            gates.append(cx @ g)
+        gates = jnp.asarray(np.stack(gates))
+
+        ref = apply_pairs_mps(mps, gates, los, trunc_thr=1e-12)
+
+        mesh = make_mesh((1, min(4, len(jax.devices()))), ("dp", "tp"))
+        got = apply_pairs_mps_sharded(
+            mps, gates, los, mesh, trunc_thr=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.lambdas), np.asarray(ref.lambdas), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(mps_to_vector(got)), np.asarray(mps_to_vector(ref)),
+            atol=1e-10,
+        )
+
+    def test_sharded_inside_jit(self):
+        """The sharded update compiles inside jit (SPMD partitioning path)."""
+        from aqc_research_tpu.ops.mps import mps_zero
+        from aqc_research_tpu.parallel.mps_sharded import apply_pairs_mps_sharded
+        from aqc_research_tpu.circuit import gates as G
+
+        n, chi = 6, 4
+        mesh = make_mesh((1, min(4, len(jax.devices()))), ("dp", "tp"))
+        los = (0, 2, 4)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def step(m, g):
+            return apply_pairs_mps_sharded(m, g, los, mesh, trunc_thr=1e-10)
+
+        m0 = mps_zero(n, chi)
+        cx = jnp.asarray(np.asarray(G.controlled(G.np_x())))
+        g = jnp.broadcast_to(cx, (len(los), 4, 4))
+        out = step(m0, g)
+        v = np.asarray(mps_to_vector(out))
+        # CX on |00..0> is identity.
+        assert abs(v[0] - 1.0) < 1e-9
