@@ -26,9 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aqc_research_tpu.config import is_tpu, set_precision
 
+import jax
+
+if "--cpu" in sys.argv:
+    # Must run before the backend initializes (is_tpu() below initializes it).
+    jax.config.update("jax_platforms", "cpu")
+
 set_precision("fast" if is_tpu() else "high")
 
-import jax
 import jax.numpy as jnp
 
 import aqc_research_tpu.targets.trotter as trotop
@@ -145,6 +150,7 @@ def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
 
 
 if __name__ == "__main__":
-    argv = [int(a) for a in sys.argv[1:3]]
+    argv = [a for a in sys.argv[1:] if a != "--cpu"]
+    argv = [int(a) for a in argv[:2]]
     bench_full_aqc()
     bench_multistart(*(argv or [12, 8]))
