@@ -33,6 +33,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .circuit import gates as G
+from .circuit.gates import np_gate_on_qubit, np_two_qubit_on
 from .circuit.ansatz import Ansatz
 from .ops import mps as mpsop
 from .ops.statevector import apply_1q, apply_2q, pauli_dot
@@ -246,3 +247,101 @@ def mps_dot_y(qubit: int, w: mpsop.MPS, z: mpsop.MPS):
 
 def mps_dot_z(qubit: int, w: mpsop.MPS, z: mpsop.MPS):
     return 0.5j * mpsop.mps_dot(z_mul_mps(qubit, w), z)
+
+
+# -----------------------------------------------------------------------------
+# Remaining reference-named entry points (symbol-level parity).
+# -----------------------------------------------------------------------------
+
+
+def bit2bit_transform(n: int, i: int) -> int:
+    """Bit-ordering flip between MSB-first internal positions and Qiskit's
+    little-endian qubit indices (core_operations.py:34-44).  This framework is
+    little-endian THROUGHOUT, so the helper exists only for code ported from
+    the reference's internal convention."""
+    return n - 1 - int(i)
+
+
+def derv_cphase(angle, ctrl: int, targ: int, w_mat, z_mat):
+    """``d<w|z>/d(angle)`` of the CPhase parameter against matrix states
+    (core_op_matrix.py:430-477): the derivative gate is diag(0,0,0, i e^{ia})
+    applied to ``w``, i.e. ``conj(i e^{ia}) * <P11 w | z>`` restricted to the
+    ctrl=targ=1 subspace."""
+    import jax.numpy as jnp
+
+    from .ops.statevector import apply_2q
+
+    w_mat = jnp.asarray(w_mat)
+    derv = jnp.zeros((4, 4), w_mat.dtype).at[3, 3].set(1j * jnp.exp(1j * angle))
+    tail = int(w_mat.shape[-1]) if w_mat.ndim == 2 else None
+    w = apply_2q(w_mat, derv, ctrl, targ, tail=tail)
+    return jnp.sum(jnp.conj(w) * jnp.asarray(z_mat))
+
+
+def np_block_matrix(n: int, c: int, t: int, c_mat, t_mat, gate_mat) -> "np.ndarray":
+    """Dense unit-block unitary: controlled-``gate_mat`` entangler at (c, t)
+    followed by 1-qubit ``c_mat`` on the control and ``t_mat`` on the target
+    (elementary_operations.py:39-81; ``gate_mat`` is the 2x2 gate G of the
+    controlled entangler).  Qubit indices are little-endian (Qiskit), like
+    the rest of this framework — the reference's internal MSB-first variant
+    relates via :func:`bit2bit_transform`."""
+    import numpy as np
+
+    ent4 = np.asarray(G.controlled(np.asarray(gate_mat)))
+    ent = np_two_qubit_on(ent4, c, t, n)
+    mc = np_gate_on_qubit(np.asarray(c_mat), c, n)
+    mt = np_gate_on_qubit(np.asarray(t_mat), t, n)
+    return mc @ mt @ ent
+
+
+def np_cx_matrix(n: int, c: int, t: int) -> "np.ndarray":
+    """Dense CX unitary on ``n`` qubits (elementary_operations.py:84-120)."""
+    import numpy as np
+
+    return np_two_qubit_on(np.asarray(G.controlled(G.np_x())), c, t, n)
+
+
+def make_rx(phi: float, out=None):
+    """Reference out-param constructor (elementary_operations.py:143-165);
+    arrays are immutable here, so ``out`` is filled if given (NumPy only)."""
+    import numpy as np
+
+    mat = G.np_rx(phi)
+    if out is not None:
+        np.copyto(out, mat)
+        return out
+    return mat
+
+
+def make_ry(phi: float, out=None):
+    import numpy as np
+
+    mat = G.np_ry(phi)
+    if out is not None:
+        np.copyto(out, mat)
+        return out
+    return mat
+
+
+def make_rz(phi: float, out=None):
+    import numpy as np
+
+    mat = G.np_rz(phi)
+    if out is not None:
+        np.copyto(out, mat)
+        return out
+    return mat
+
+
+def mps_from_circuit(program, num_qubits: int, *, trunc_thr=None, chi_max: int = 64):
+    """MPS of ``program`` applied to |0...0> — the reference's Aer-backed
+    entry point (mps_operations.py:216-265) with a GateProgram instead of a
+    QuantumCircuit."""
+    thr = mpsop.no_truncation_threshold() if trunc_thr is None else trunc_thr
+    return mpsop.mps_from_program(program, num_qubits, chi_max=chi_max, trunc_thr=thr)
+
+
+def qcircuit_mul_mps(program, mps: "mpsop.MPS", *, trunc_thr=None):
+    """Applies a gate program to an existing MPS (mps_operations.py:268-298)."""
+    thr = mpsop.no_truncation_threshold() if trunc_thr is None else trunc_thr
+    return mpsop.apply_program_mps(mps, program, trunc_thr=thr)

@@ -393,12 +393,6 @@ def _dots_from_stacks(w: MPS, z: MPS, l_stack, r_stack, pauli_mats, sites):
     )
 
 
-def _batched_dots(w: MPS, z: MPS, pauli_mats: jax.Array, sites):
-    """All ``<P_k w | z>`` for distinct sites in one batched contraction."""
-    _, _, l_stack, r_stack = _env_stacks(w, z)
-    return _dots_from_stacks(w, z, l_stack, r_stack, pauli_mats, sites)
-
-
 def _apply_pairs_both(w: MPS, z: MPS, gates, los, trunc_thr):
     """Applies the same batched pair gates to w and z.
 

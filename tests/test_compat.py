@@ -64,3 +64,60 @@ def test_mps_gate_wrappers():
     d = complex(np.asarray(compat.mps_dot_z(0, mps, mps)))
     expected = 0.5j * np.vdot(np_gate_on_qubit(np_z(), 0, n) @ dense, dense)
     assert abs(d - expected) < 1e-9
+
+
+def test_remaining_reference_symbols():
+    """bit2bit_transform, dense kron builders, out-param constructors,
+    derv_cphase, and the circuit-level MPS entry points."""
+    n = 3
+    assert compat.bit2bit_transform(n, 0) == 2
+
+    cx_full = np.asarray(compat.np_cx_matrix(n, 0, 2))
+    state = np.zeros(2**n, complex)
+    state[0b001] = 1  # qubit 0 set -> CX(0->2) flips qubit 2
+    assert abs((cx_full @ state)[0b101] - 1) < 1e-12
+
+    blk = np.asarray(
+        compat.np_block_matrix(2, 0, 1, compat.make_ry(0.3), compat.make_rz(0.4),
+                               np_x())
+    )
+    # Unitary, and equals c_mat/t_mat expansion after the CX entangler.
+    assert np.allclose(blk @ blk.conj().T, np.eye(4), atol=1e-12)
+    expected = (
+        np_gate_on_qubit(np.asarray(compat.make_ry(0.3)), 0, 2)
+        @ np_gate_on_qubit(np.asarray(compat.make_rz(0.4)), 1, 2)
+        @ np.asarray(compat.np_cx_matrix(2, 0, 1))
+    )
+    assert np.allclose(blk, expected, atol=1e-12)
+
+    out = np.zeros((2, 2), complex)
+    assert compat.make_rx(0.7, out) is out
+    assert np.allclose(out, np.asarray(compat.make_rx(0.7)))
+
+    # derv_cphase vs numeric difference of <CP(a) w | z>.
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(4, 2)) + 1j * rng.normal(size=(4, 2))
+    z = rng.normal(size=(4, 2)) + 1j * rng.normal(size=(4, 2))
+    a, eps = 0.3, 1e-6
+
+    def f(aa):
+        cp = np.diag([1, 1, 1, np.exp(1j * aa)])
+        return np.sum(np.conj(cp @ w) * z)
+
+    num = (f(a + eps) - f(a - eps)) / (2 * eps)
+    got = complex(np.asarray(compat.derv_cphase(a, 0, 1, w, z)))
+    assert abs(got - num) < 1e-6
+
+    # Circuit-level MPS entry points.
+    from aqc_research_tpu.circuit.program import ProgramBuilder, program_to_state
+
+    pb = ProgramBuilder(n)
+    pb.x(0)
+    pb.cx(0, 1)
+    prog = pb.build()
+    mps = compat.mps_from_circuit(prog, n, chi_max=4)
+    ref = np.asarray(program_to_state(prog, n))
+    assert np.allclose(np.asarray(mpsop.mps_to_vector(mps)), ref, atol=1e-10)
+    mps2 = compat.qcircuit_mul_mps(prog, mps)
+    v2 = np.asarray(mpsop.mps_to_vector(mps2))
+    assert abs(np.linalg.norm(v2) - 1) < 1e-9
