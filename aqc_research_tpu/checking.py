@@ -126,3 +126,50 @@ def block_structure(num_qubits: int, blocks: Any) -> bool:
         and bool(np.all((0 <= np.asarray(blocks)) & (np.asarray(blocks) < num_qubits)))
         and bool(np.all(np.asarray(blocks)[0, :] != np.asarray(blocks)[1, :]))
     )
+
+
+def is_complex(val: Any, extra_cond: bool = True) -> bool:
+    """True for a complex scalar (checking.py:35)."""
+    return isinstance(val, (complex, np.complex64, np.complex128)) and bool(extra_cond)
+
+
+def float_2d(arr: Any, extra_cond: bool = True) -> bool:
+    """True for a 2D real-float array (checking.py:70)."""
+    return _is_array(arr) and arr.ndim == 2 and _kind(arr) == "f" and bool(extra_cond)
+
+
+def int_1d(arr: Any, extra_cond: bool = True) -> bool:
+    """True for a 1D integer array (checking.py:151)."""
+    return _is_array(arr) and arr.ndim == 1 and _kind(arr) == "i" and bool(extra_cond)
+
+
+def bool_1d(arr: Any, extra_cond: bool = True) -> bool:
+    """True for a 1D boolean array (checking.py:171)."""
+    return _is_array(arr) and arr.ndim == 1 and _kind(arr) == "b" and bool(extra_cond)
+
+
+def check_sim_complex_vecs4(a, b, c, d) -> bool:
+    """True when four complex vectors have identical size and dtype kind
+    (checking.py:176-210; the reference also demanded memory contiguity,
+    which is meaningless for immutable device arrays)."""
+    vecs = (a, b, c, d)
+    return all(complex_1d(v) for v in vecs) and all(
+        v.shape == a.shape for v in vecs
+    )
+
+
+def check_permutation(arr: Any) -> bool:
+    """True when the array is an index permutation of 0..n-1 (checking.py:213)."""
+    if not (_is_array(arr) and arr.ndim == 1 and _kind(arr) == "i"):
+        return False
+    x = np.asarray(arr)
+    return bool(np.array_equal(np.sort(x), np.arange(x.size)))
+
+
+def no_overlap(a, b) -> bool:
+    """True when two arrays do not share memory (checking.py:225).  Device
+    arrays are immutable, so aliasing is harmless there — only NumPy pairs
+    are actually checked."""
+    if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+        return not np.shares_memory(a, b)
+    return True

@@ -304,3 +304,7 @@ def first_layer_included(
     assert chk.is_tuple(layer_range, len(layer_range) == 2)
     assert 0 <= layer_range[0] < layer_range[1] <= circ.num_layers
     return layer_range[0] == 0
+
+
+# Reference class name (parametric_circuit.py:24): drop-in alias.
+ParametricCircuit = Ansatz

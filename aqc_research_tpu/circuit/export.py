@@ -96,3 +96,39 @@ def ansatz_to_program(
                 qb.rz(np.pi / 2, targ)
 
     return qb.build()
+
+
+# -----------------------------------------------------------------------------
+# Reference-named aliases (circuit_transform.py): "qcircuit" = GateProgram.
+# -----------------------------------------------------------------------------
+
+from .program import (  # noqa: E402
+    program_to_matrix as qcircuit_to_matrix,
+    program_to_state as qcircuit_to_state,
+    state_preparation_program as state_preparation_qcircuit,
+)
+
+ansatz_to_qcircuit = ansatz_to_program
+
+
+def ansatz_to_numpy_fast(circ, thetas):
+    """Dense ansatz matrix via the matrix engine (circuit_transform.py:273)."""
+    from ..ops.statevector import ansatz_to_matrix
+
+    return ansatz_to_matrix(circ, thetas)
+
+
+def ansatz_to_numpy_trotter(circ, thetas):
+    """Dense matrix of a (possibly Trotterized) ansatz
+    (circuit_transform.py:290) — same engine here (it supports Trotter)."""
+    from ..ops.statevector import ansatz_to_matrix
+
+    return ansatz_to_matrix(circ, thetas)
+
+
+def ansatz_to_numpy_by_qiskit(circ, thetas, tol: float = 0.0):
+    """Dense matrix via the gate-program route (the reference's Qiskit route,
+    circuit_transform.py:249) — a cross-check of ansatz_to_numpy_fast."""
+    from .program import program_to_matrix
+
+    return program_to_matrix(ansatz_to_program(circ, thetas, tol=tol), circ.num_qubits)

@@ -172,3 +172,7 @@ def print_results(results: List[Dict], result_no: Optional[int] = None) -> None:
         if result_no is None or result_no == idx:
             print(f"\n{'&' * 80}\nHorizon no. {idx}\n{'&' * 80}\n")
             pprint(res)
+
+
+# Reference name (trotter_evol_utils.py:56): "qcircuit" = GateProgram here.
+qcircuit_from_result = program_from_result

@@ -104,3 +104,12 @@ def run_jobs(
     if tolerate_failure:
         results = [r for r in results if r["status"].startswith("ok")]
     return results
+
+
+def is_debugging() -> bool:
+    """True when running under a debugger (job_executor.py:27-34) — the
+    reference's executor switches to serial execution then; ours accepts an
+    explicit ``serial=True`` but keeps the helper for parity."""
+    import inspect
+
+    return any(frame[1].endswith("pdb.py") for frame in inspect.stack())

@@ -502,3 +502,25 @@ def init_ansatz_to_trotter(
         th2q[0, 0:half, 6] = alphas[2]
 
     return thetas
+
+
+def trotter_circuit(
+    num_qubits: int,
+    *,
+    dt: float,
+    delta: float,
+    num_trotter_steps: int,
+    second_order: bool,
+    ini_state: Optional[GateProgram] = None,
+) -> GateProgram:
+    """Trotter evolution as a gate program (reference trotter_circuit,
+    trotter.py:317-378, with a GateProgram instead of a QuantumCircuit; the
+    reference APPENDED to an input circuit — pass ``ini_state`` to prepend
+    a preparation program)."""
+    return Trotter(
+        num_qubits=num_qubits,
+        evol_time=float(dt) * int(num_trotter_steps),
+        num_steps=int(num_trotter_steps),
+        delta=float(delta),
+        second_order=bool(second_order),
+    ).as_program(ini_state)

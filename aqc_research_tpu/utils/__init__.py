@@ -348,3 +348,22 @@ def sort_and_print_summary(num_qubits: int, results: List[Dict]) -> List[Dict]:
     summary = pd.DataFrame(results, columns=["cost", "num_iters", "time"])
     print(f"\n{'-' * 24}\nSorted valid results:\n{summary}\n")
     return results
+
+
+def temporary_code(func):
+    """Marks temporary/scaffolding code (reference utils.py): logs a warning
+    on first call and passes through."""
+    import functools
+
+    warned = []
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        if not warned:
+            warned.append(True)
+            logging.getLogger(__name__).warning(
+                "temporary code path: %s", getattr(func, "__name__", func)
+            )
+        return func(*args, **kwargs)
+
+    return wrapper
