@@ -90,7 +90,7 @@ def svd_top_k(m: jax.Array, top_k: int) -> Tuple[jax.Array, jax.Array, jax.Array
     # its twin is O(eps * cond(M^H M)) — in f32 the squared conditioning
     # pushes that to ~1e-2, so the keep/drop tolerance must be dtype-aware
     # (a too-tight tol keeps duplicates and double-counts singular values).
-    tol = 1e-5 if jnp.finfo(jnp.real(m).dtype).bits >= 64 else 5e-2
+    tol = 1e-5 if jnp.finfo(w.dtype).bits >= 64 else 5e-2
     q_ortho, valid = _complex_mgs(cand, num_steps, tol)
 
     # Select the first top_k VALID columns (stable order by candidate index).
