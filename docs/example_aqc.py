@@ -7,6 +7,11 @@ Frobenius/HS objective), then the sketched variant and coordinate descent.
 Run:  python docs/example_aqc.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from aqc_research_tpu.models.sketching.aqc_coord_descent import aqc_coordinate_descent

@@ -16,6 +16,9 @@ Run:  python docs/example_jit_asp.py            (dense, 8 qubits)
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -10,6 +10,11 @@ Run:  python docs/example_time_evolution.py          (MPS engine, 12 qubits)
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import os
 
 from aqc_research_tpu.models.sp_lhs.time_evol import run_simulation
 from aqc_research_tpu.models.sp_lhs.user_options import UserOptions
