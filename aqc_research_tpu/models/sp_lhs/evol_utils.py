@@ -87,9 +87,14 @@ def get_solution_from_optim_result(
         return mpsop.v_mul_mps(circ, thetas, ini, trunc_thr=trunc_thr)
 
     if state_prep_func is not None:
-        state = to_host(program_to_state(state_prep_func(num_qubits), num_qubits))
+        # Keep the prep state ON DEVICE (program_to_state is jitted): a host
+        # round trip would re-upload complex data eagerly, which is lazily
+        # invalid on some TPU runtimes (CLAUDE.md).
+        state = program_to_state(state_prep_func(num_qubits), num_qubits)
     else:
-        state = zero_state(num_qubits)
+        from ...utils import from_host
+
+        state = from_host(zero_state(num_qubits))
     return to_host(v_mul_vec(circ, thetas, state))
 
 

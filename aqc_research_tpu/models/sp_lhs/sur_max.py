@@ -27,7 +27,7 @@ from ...circuit.ansatz import Ansatz
 from ...ops.gradients import grad_of_dot_product
 from ...ops.statevector import v_dagger_mul_vec
 from ...optim.stoppers import GradientAmplifier
-from ...utils import create_logger, to_host
+from ...utils import create_logger, from_host, to_host
 from . import objective_base as obj_base
 
 _logger = create_logger(__file__)
@@ -77,6 +77,24 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
         self._hs = np.zeros(self._num_states, dtype=np.complex128)
         self._max_no = 0
 
+    def _device_states_matrix(self):
+        """Device copy of the handler's cached states via from_host — eager
+        complex host->device transfers are lazily invalid on some TPU
+        runtimes (CLAUDE.md); the copy is cached (states are static)."""
+        if getattr(self, "_dev_states", None) is None:
+            self._dev_states = from_host(self._state_handler.states_matrix)
+        return self._dev_states
+
+    def _device_init_state(self, state_no: int):
+        cache = getattr(self, "_dev_init_states", None)
+        if cache is None:
+            cache = self._dev_init_states = {}
+        if state_no not in cache:
+            cache[state_no] = from_host(
+                np.asarray(self._state_handler.init_state(state_no))
+            )
+        return cache[state_no]
+
     def objective(self, thetas: np.ndarray) -> float:
         self._store_latest_thetas(thetas)
         thetas = jnp.asarray(thetas)
@@ -88,7 +106,7 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
             )
         else:
             vh, hs = _vh_target_and_hs_dense(
-                self._circuit, thetas, self._target, jnp.asarray(handler.states_matrix)
+                self._circuit, thetas, self._target, self._device_states_matrix()
             )
         self._vh_target = vh
         self._hs = to_host(hs)
@@ -121,7 +139,7 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
             grad_of_dot_product(
                 self._circuit,
                 thetas,
-                jnp.asarray(self._state_handler.init_state(0)),
+                self._device_init_state(0),
                 self._vh_target,
                 block_range=self._block_range,
                 front_layer=optimize_front_layer,
@@ -138,7 +156,7 @@ class SpSurrogateObjectiveMax(obj_base.SpLHSObjectiveBase):
                 grad_of_dot_product(
                     self._circuit,
                     thetas,
-                    jnp.asarray(self._state_handler.init_state(self._max_no)),
+                    self._device_init_state(self._max_no),
                     self._vh_target,
                     block_range=self._block_range,
                     front_layer=optimize_front_layer,

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuit import gates as G
+from ..utils import as_device
 from ..circuit.ansatz import Ansatz
 from .statevector import apply_1q, apply_2q, pauli_dot, v_dagger_mul_mat, v_dagger_mul_vec
 
@@ -243,7 +244,7 @@ def grad_of_dot_product(
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
     return _dot_product_gradient(
-        circ, jnp.asarray(thetas), jnp.asarray(x_vec), jnp.asarray(vh_y_vec), 1,
+        circ, jnp.asarray(thetas), as_device(x_vec), as_device(vh_y_vec), 1,
         block_range, bool(front_layer),
     )
 
@@ -259,11 +260,11 @@ def grad_of_matrix_dot_product(
 ) -> jax.Array:
     """Complex gradient of ``<V X, Y>`` for matrices stacked in columns
     (cf. reference core_op_matrix.py:645-762)."""
-    x_mat = jnp.asarray(x_mat)
+    x_mat = as_device(x_mat)
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
     return _dot_product_gradient(
-        circ, jnp.asarray(thetas), x_mat, jnp.asarray(vh_y_mat),
+        circ, jnp.asarray(thetas), x_mat, as_device(vh_y_mat),
         int(x_mat.shape[-1]), block_range, bool(front_layer),
     )
 
@@ -275,7 +276,7 @@ def grad_of_matrix_dot_product(
 
 def dot_product(circ: Ansatz, thetas, x, y) -> jax.Array:
     """``<x | V(Θ)† | y>`` (complex scalar), via the appropriate engine."""
-    x = jnp.asarray(x)
+    x = as_device(x)
     if x.ndim == 1:
         return jnp.vdot(x, v_dagger_mul_vec(circ, thetas, y))
     return jnp.vdot(x, v_dagger_mul_mat(circ, thetas, y))

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuit import gates as G
+from ..utils import as_device
 from ..circuit.ansatz import Ansatz
 
 # -----------------------------------------------------------------------------
@@ -412,28 +413,28 @@ def _v_dagger_mul(circ: Ansatz, thetas: jax.Array, arr: jax.Array, tail: int) ->
 def v_mul_vec(circ: Ansatz, thetas, vec) -> jax.Array:
     """``V @ vec`` — functional counterpart of reference ``v_mul_vec``
     (core_operations.py:606-710); no out/workspace arguments."""
-    vec = jnp.asarray(vec)
+    vec = as_device(vec)
     return _v_mul(circ, jnp.asarray(thetas), vec, 1)
 
 
 def v_dagger_mul_vec(circ: Ansatz, thetas, vec) -> jax.Array:
     """``V† @ vec`` — cf. reference ``v_dagger_mul_vec``
     (core_operations.py:713-820)."""
-    vec = jnp.asarray(vec)
+    vec = as_device(vec)
     return _v_dagger_mul(circ, jnp.asarray(thetas), vec, 1)
 
 
 def v_mul_mat(circ: Ansatz, thetas, mat) -> jax.Array:
     """``V @ mat`` for a ``(2^n, m)`` matrix — cf. reference ``v_mul_mat``
     (core_op_matrix.py:480-559)."""
-    mat = jnp.asarray(mat)
+    mat = as_device(mat)
     return _v_mul(circ, jnp.asarray(thetas), mat, int(mat.shape[-1]))
 
 
 def v_dagger_mul_mat(circ: Ansatz, thetas, mat) -> jax.Array:
     """``V† @ mat`` — cf. reference ``v_dagger_mul_mat``
     (core_op_matrix.py:562-642)."""
-    mat = jnp.asarray(mat)
+    mat = as_device(mat)
     return _v_dagger_mul(circ, jnp.asarray(thetas), mat, int(mat.shape[-1]))
 
 

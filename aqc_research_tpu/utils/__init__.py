@@ -56,6 +56,17 @@ def from_host(x):
     )
 
 
+def as_device(x):
+    """jnp.asarray that is SAFE for complex NumPy inputs: complex host arrays
+    go through :func:`from_host` (eager complex transfers are lazily invalid
+    on some TPU runtimes); device arrays and real inputs pass through."""
+    import jax.numpy as jnp
+
+    if isinstance(x, np.ndarray) and x.dtype.kind == "c":
+        return from_host(x)
+    return jnp.asarray(x)
+
+
 def to_host(x) -> np.ndarray:
     """Fetches a (possibly complex) device array to a NumPy array.
 
