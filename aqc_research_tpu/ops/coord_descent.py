@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuit import gates as G
+from ..utils import as_device
 from ..circuit.ansatz import Ansatz
 from .statevector import apply_1q, apply_2q, pauli_dot, structure_period, v_dagger_mul_mat
 
@@ -147,4 +148,4 @@ def coord_descent_single_sweep(
     (core_op_matrix.py:765-917): returns ``(new_thetas, fobj)`` instead of
     mutating Θ in place.
     """
-    return _coord_descent_sweep(circ, jnp.asarray(thetas), jnp.asarray(target))
+    return _coord_descent_sweep(circ, jnp.asarray(thetas), as_device(target))

@@ -14,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from aqc_research_tpu.config import is_tpu, set_precision
+
+set_precision("fast" if is_tpu() else "high")
+
 from aqc_research_tpu.models.sketching.aqc_coord_descent import aqc_coordinate_descent
 from aqc_research_tpu.models.sketching.aqc_sketching import aqc_sketching
 

@@ -16,6 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import os
 
+from aqc_research_tpu.config import is_tpu, set_precision
+
+set_precision("fast" if is_tpu() else "high")
+
 from aqc_research_tpu.models.sp_lhs.time_evol import run_simulation
 from aqc_research_tpu.models.sp_lhs.user_options import UserOptions
 

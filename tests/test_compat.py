@@ -121,3 +121,21 @@ def test_remaining_reference_symbols():
     mps2 = compat.qcircuit_mul_mps(prog, mps)
     v2 = np.asarray(mpsop.mps_to_vector(mps2))
     assert abs(np.linalg.norm(v2) - 1) < 1e-9
+
+
+def test_as_device_complex_safety():
+    """utils.as_device: complex host arrays via from_host; device/real pass."""
+    import jax.numpy as jnp
+
+    from aqc_research_tpu.utils import as_device, to_host
+
+    x = np.arange(8, dtype=np.float64)
+    assert np.allclose(np.asarray(as_device(x)), x)
+    c = (np.arange(8) + 1j * np.arange(8)).astype(np.complex128)
+    dev = as_device(c)
+    assert np.allclose(to_host(dev), c)
+    # device arrays pass through untouched
+    again = as_device(dev)
+    assert isinstance(again, type(dev))
+    y = as_device(jnp.ones(4))
+    assert np.allclose(np.asarray(y), 1.0)
