@@ -161,6 +161,27 @@ class TestShardedMps:
             atol=1e-10,
         )
 
+    def test_sharded_pad_multiple_duplicates(self):
+        """2 pairs on a 4-device axis -> 2 duplicate pad entries."""
+        from aqc_research_tpu.ops.mps import apply_pairs_mps, rand_mps_vec
+        from aqc_research_tpu.parallel.mps_sharded import apply_pairs_mps_sharded
+        from aqc_research_tpu.circuit import gates as G
+
+        np.random.seed(9)
+        n, chi = 6, 8
+        mps = rand_mps_vec(n, num_layers=2, chi_max=chi)
+        los = (1, 4)
+        cz = np.asarray(G.controlled(G.np_z()))
+        ry = np.kron(np.asarray(G.np_ry(0.7)), np.asarray(G.np_rz(-0.4)))
+        gates = jnp.asarray(np.stack([cz @ ry, ry @ cz]))
+        ref = apply_pairs_mps(mps, gates, los, trunc_thr=1e-12)
+        mesh = make_mesh((1, min(4, len(jax.devices()))), ("dp", "tp"))
+        got = apply_pairs_mps_sharded(mps, gates, los, mesh, trunc_thr=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(mps_to_vector(got)), np.asarray(mps_to_vector(ref)),
+            atol=1e-10,
+        )
+
     def test_sharded_inside_jit(self):
         """The sharded update compiles inside jit (SPMD partitioning path)."""
         from aqc_research_tpu.ops.mps import mps_zero
