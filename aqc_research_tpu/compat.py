@@ -262,20 +262,21 @@ def bit2bit_transform(n: int, i: int) -> int:
     return n - 1 - int(i)
 
 
-def derv_cphase(angle, ctrl: int, targ: int, w_mat, z_mat):
-    """``d<w|z>/d(angle)`` of the CPhase parameter against matrix states
-    (core_op_matrix.py:430-477): the derivative gate is diag(0,0,0, i e^{ia})
-    applied to ``w``, i.e. ``conj(i e^{ia}) * <P11 w | z>`` restricted to the
-    ctrl=targ=1 subspace."""
+def derv_cphase(ctrl: int, targ: int, w_mat, z_mat):
+    """``d<w|z>/d(angle)`` of the CPhase parameter against matrix states,
+    matching the reference contract EXACTLY (core_op_matrix.py:430-477):
+    ``w_mat`` is assumed to already contain the CP(a) gate (post-gate w),
+    and the result is ``-1j * <P11 w | z>`` with P11 the ctrl=targ=1
+    projector.  (No workspace argument — functional arrays.)"""
     import jax.numpy as jnp
 
     from .ops.statevector import apply_2q
 
     w_mat = jnp.asarray(w_mat)
-    derv = jnp.zeros((4, 4), w_mat.dtype).at[3, 3].set(1j * jnp.exp(1j * angle))
+    p11 = jnp.zeros((4, 4), w_mat.dtype).at[3, 3].set(1.0)
     tail = int(w_mat.shape[-1]) if w_mat.ndim == 2 else None
-    w = apply_2q(w_mat, derv, ctrl, targ, tail=tail)
-    return jnp.sum(jnp.conj(w) * jnp.asarray(z_mat))
+    w = apply_2q(w_mat, p11, ctrl, targ, tail=tail)
+    return -1j * jnp.sum(jnp.conj(w) * jnp.asarray(z_mat))
 
 
 def np_block_matrix(n: int, c: int, t: int, c_mat, t_mat, gate_mat) -> "np.ndarray":

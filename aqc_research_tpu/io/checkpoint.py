@@ -55,7 +55,7 @@ def save_checkpoint(path: str, state: Dict[str, Any]) -> str:
 
 def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
     """Loads a checkpoint saved by :func:`save_checkpoint`; None if absent."""
-    import jax.numpy as jnp
+    from ..utils import as_device
 
     path = path if path.endswith(".npz") else path + ".npz"
     if not os.path.isfile(path):
@@ -69,9 +69,12 @@ def load_checkpoint(path: str) -> Optional[Dict[str, Any]]:
             state[key] = data[key]
         for key, val in meta.items():
             if val == "__mps__":
+                # Complex host->device must go through as_device/from_host:
+                # eager jnp.asarray on complex NumPy arrays produces
+                # lazily-invalid buffers on the axon TPU runtime.
                 state[key] = MPS(
-                    jnp.asarray(data[f"{key}.gammas"]),
-                    jnp.asarray(data[f"{key}.lambdas"]),
+                    as_device(data[f"{key}.gammas"]),
+                    as_device(data[f"{key}.lambdas"]),
                 )
     _logger.info("checkpoint loaded: %s", path)
     return state

@@ -495,8 +495,6 @@ def mps_from_dense(state: np.ndarray, chi_max: int, dtype=None) -> MPS:
         lambdas[i, :k] = s
         prev_lam = s
         left_dim = k
-        mats = (np.diag(s) @ vh).reshape(2 * k, -1)
-        # reorder: rows currently (a, s_{i+1}) flattened as a*2+s? No:
         # vh rows are bond k, columns are (s_{i+1}, ..., s_n) flattened with
         # s_{i+1} slowest. (diag(s) vh) has shape (k, 2^{n-i-1}); reshape to
         # (k, 2, -1) then move s next to bond: (2, k, -1) -> (2k, -1).

@@ -117,26 +117,22 @@ def bench_cpu_baseline(time_cap: float = 300.0) -> float:
     thetas0 = np.asarray(thetas0, dtype=np.float64)
     target = to_host(target).astype(np.complex128)
 
-    state = {"f": None, "g": None, "start": None, "reached": None}
+    state = {"start": None, "reached": None}
 
     def fun(th):
         f, g = npb.asp_objective_and_gradient(circ, th, target, idx0)
-        state["g"] = g
         if state["reached"] is None and f <= INFIDELITY_TARGET:
             state["reached"] = time.perf_counter() - state["start"]
         if time.perf_counter() - state["start"] > time_cap:
             raise TimeoutError("baseline time cap hit")
-        return f
-
-    def jac(_th):
-        return state["g"]
+        return f, g
 
     state["start"] = time.perf_counter()
     try:
         sciopt.minimize(
             fun,
             thetas0,
-            jac=jac,
+            jac=True,
             method="L-BFGS-B",
             options={"maxiter": MAXITER, "maxfun": 5 * MAXITER},
         )

@@ -94,7 +94,9 @@ def test_remaining_reference_symbols():
     assert compat.make_rx(0.7, out) is out
     assert np.allclose(out, np.asarray(compat.make_rx(0.7)))
 
-    # derv_cphase vs numeric difference of <CP(a) w | z>.
+    # derv_cphase vs numeric difference of <CP(a) w | z>.  Reference
+    # contract (core_op_matrix.py:430-477): w is POST-gate (already contains
+    # CP(a)); result is -1j * <P11 w | z>.
     rng = np.random.default_rng(0)
     w = rng.normal(size=(4, 2)) + 1j * rng.normal(size=(4, 2))
     z = rng.normal(size=(4, 2)) + 1j * rng.normal(size=(4, 2))
@@ -105,7 +107,8 @@ def test_remaining_reference_symbols():
         return np.sum(np.conj(cp @ w) * z)
 
     num = (f(a + eps) - f(a - eps)) / (2 * eps)
-    got = complex(np.asarray(compat.derv_cphase(a, 0, 1, w, z)))
+    w_post = np.diag([1, 1, 1, np.exp(1j * a)]) @ w
+    got = complex(np.asarray(compat.derv_cphase(0, 1, w_post, z)))
     assert abs(got - num) < 1e-6
 
     # Circuit-level MPS entry points.
