@@ -6,14 +6,15 @@ alternative: the surrogate loss is a pure function and the WHOLE L-BFGS
 optimization of a horizon runs on device (optim/lbfgs.py), with no host
 round trips — the production fast path for time-to-solution benchmarks.
 
-Deviations from the host objective, by design (documented):
+Two surrogate variants live here:
 
-* the max-projection term selects the leading flip state with a hard
-  ``argmax`` every evaluation (no 1.1x cross-iteration hysteresis — that is
-  host-side state);
-* the flip-term weight ``w`` is a fixed input rather than the reference's
-  EMA ``w += 0.1(sqrt|fobj| - w)`` (objective_lhs_sur_max.py:185-186);
-  ``w = 0`` gives the pure fidelity objective used by the benchmarks.
+* :func:`make_surrogate_loss` — the STATELESS simplification (fixed weight,
+  hard argmax) used by the pure-fidelity benchmarks;
+* :func:`make_surrogate_stateful` + :func:`optimize_horizon_surrogate_jit` —
+  the FULL reference semantics on device: the 1.1x max-projection hysteresis
+  (objective_lhs_sur_max.py:110-117) and the weight EMA
+  ``w += 0.1(sqrt|fobj| - w)`` (:185-186) are two scalars carried through the
+  jitted L-BFGS loop (optim/lbfgs.py minimize_lbfgs_compact_stateful).
 """
 
 from __future__ import annotations
@@ -25,11 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...circuit.ansatz import Ansatz
+from ...ops.gradients import grad_of_dot_product
 from ...ops.statevector import v_dagger_mul_vec
 from ...optim.lbfgs import (
     JitMinimizeResult,
     minimize_lbfgs,
     minimize_lbfgs_compact,
+    minimize_lbfgs_compact_stateful,
 )
 
 
@@ -69,6 +72,103 @@ def make_surrogate_loss(
         return 1.0 - (1.0 - w) * hs2[0] - w * jnp.max(hs2)
 
     return loss
+
+
+class SurrogateState(NamedTuple):
+    """The host-side objective state of the reference ``sur_max``, as a jit
+    carry: hysteresis-selected leading flip state + EMA weight (cf.
+    objective_lhs_sur_max.py:110-117,185-186)."""
+
+    max_no: jax.Array  # i32 — leading flip-state index
+    weight: jax.Array  # EMA weight of the max-projection term
+    fidelity: jax.Array  # hs2[0] at the latest evaluation
+    fobj: jax.Array  # fobj at the latest evaluation
+
+
+def make_surrogate_stateful(
+    circ: Ansatz,
+    state_idx: Sequence[int],
+    gamma: float = 0.1,
+):
+    """Pure-functional twin of the host ``SpSurrogateObjectiveMax``: returns
+    ``(value, value_and_grad)`` with signatures
+
+        value(thetas, state, target)          -> (fobj, state')
+        value_and_grad(thetas, state, target) -> (fobj, grad, state')
+
+    reproducing the reference semantics EXACTLY (tested to 1e-6 against the
+    host class in tests/test_jit_asp.py):
+
+    * every evaluation applies the 1.1x max-projection hysteresis (the
+      sequential loop of objective_lhs_sur_max.py:110-117 as a fori over
+      flip states) and ticks the weight EMA ``w += gamma (sqrt|fobj| - w)``
+      (:185-186) — under SciPy L-BFGS-B the reference ``objective`` and
+      ``gradient`` are ALWAYS called as a pair, so both state updates fire
+      at every evaluation point, including linesearch trials;
+    * ``value_and_grad`` additionally evaluates the analytic co-sweep
+      gradient (1 sweep when max_no == 0, 2 otherwise — lax.cond).
+
+    ``state_idx`` are the dense-basis indices of the flip states (X-layer
+    product preps — :func:`flip_state_indices`).
+    """
+    idx_np = np.asarray(state_idx, dtype=np.int64)
+    num_states = int(idx_np.size)
+    dim = 2**circ.num_qubits
+
+    def _project(thetas, target, st):
+        vh = v_dagger_mul_vec(circ, thetas, target)
+        idx = jnp.asarray(idx_np)
+        hs = vh[idx]
+        hs2 = jnp.abs(hs) ** 2
+
+        def hyst(i, carry):
+            max_proj, max_no = carry
+            better = 1.1 * max_proj < hs2[i]
+            return (
+                jnp.where(better, hs2[i], max_proj),
+                jnp.where(better, i, max_no),
+            )
+
+        max_no0 = jnp.asarray(st.max_no, jnp.int32)
+        _, max_no = jax.lax.fori_loop(
+            0, num_states, hyst, (hs2[max_no0], max_no0)
+        )
+        w = st.weight
+        fobj = (1.0 - (1.0 - w) * hs2[0] - w * hs2[max_no]).astype(thetas.dtype)
+        return vh, hs, hs2, max_no, fobj
+
+    def value(thetas, st, target):
+        _, _, hs2, max_no, fobj = _project(thetas, target, st)
+        w_new = st.weight + gamma * (jnp.sqrt(jnp.abs(fobj)) - st.weight)
+        return fobj, SurrogateState(
+            max_no, w_new, hs2[0].astype(thetas.dtype), fobj
+        )
+
+    def value_and_grad(thetas, st, target):
+        vh, hs, hs2, max_no, fobj = _project(thetas, target, st)
+        x0_state = jnp.zeros(dim, vh.dtype).at[int(idx_np[0])].set(1.0)
+        grad0 = grad_of_dot_product(circ, thetas, x0_state, vh, front_layer=True)
+        w = st.weight.astype(grad0.real.dtype)
+
+        def grad_two_sweeps(_):
+            idx = jnp.asarray(idx_np)
+            xm = jnp.zeros(dim, vh.dtype).at[idx[max_no]].set(1.0)
+            grad_m = grad_of_dot_product(circ, thetas, xm, vh, front_layer=True)
+            g = -2.0 * (1.0 - w) * jnp.conj(hs[0]) * grad0
+            g = g - 2.0 * w * jnp.conj(hs[max_no]) * grad_m
+            return jnp.real(g)
+
+        def grad_one_sweep(_):
+            return jnp.real(-2.0 * jnp.conj(hs[0]) * grad0)
+
+        grad = jax.lax.cond(max_no == 0, grad_one_sweep, grad_two_sweeps, None)
+        w_new = st.weight + gamma * (jnp.sqrt(jnp.abs(fobj)) - st.weight)
+        new_st = SurrogateState(
+            max_no, w_new, hs2[0].astype(thetas.dtype), fobj
+        )
+        return fobj, grad.astype(thetas.dtype), new_st
+
+    return value, value_and_grad
 
 
 class JitHorizonResult(NamedTuple):
@@ -156,6 +256,90 @@ def optimize_horizon_multistart(
         int(maxiter),
         None if no_improve_iters is None else int(no_improve_iters),
         solver,
+    )
+
+
+class JitSurrogateResult(NamedTuple):
+    thetas: jax.Array
+    fobj: jax.Array  # best (lowest) surrogate value
+    fidelity: jax.Array  # hs2[0] at the best thetas
+    num_iters: jax.Array
+    converged: jax.Array
+    weight: jax.Array  # final EMA weight
+    max_no: jax.Array  # final hysteresis-selected flip state
+
+
+@_partial(jax.jit, static_argnums=(0, 3, 5, 6, 7, 8))
+def _optimize_horizon_surrogate(
+    circ: Ansatz,
+    x0,
+    tgt,
+    state_idx_t: tuple,
+    weight0,
+    gamma: float,
+    fid_thr,
+    maxiter: int,
+    no_improve_iters,
+) -> JitSurrogateResult:
+    value, vgrad = make_surrogate_stateful(circ, state_idx_t, gamma)
+    st0 = SurrogateState(
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(weight0, x0.dtype),
+        jnp.asarray(0.0, x0.dtype),
+        jnp.asarray(jnp.inf, x0.dtype),
+    )
+    stop_fn = None
+    if fid_thr is not None:
+        stop_fn = lambda st: st.fidelity > fid_thr  # noqa: E731
+    res, st = minimize_lbfgs_compact_stateful(
+        lambda x, s: value(x, s, tgt),
+        lambda x, s: vgrad(x, s, tgt),
+        x0,
+        st0,
+        maxiter=maxiter,
+        no_improve_iters=no_improve_iters,
+        stop_fn=stop_fn,
+    )
+    vh = v_dagger_mul_vec(circ, res.thetas, tgt)
+    fid = jnp.abs(vh[int(state_idx_t[0])]) ** 2
+    return JitSurrogateResult(
+        res.thetas, res.fobj, fid, res.num_iters, res.converged,
+        st.weight, st.max_no,
+    )
+
+
+def optimize_horizon_surrogate_jit(
+    circ: Ansatz,
+    thetas0,
+    target,
+    *,
+    state_idx: Sequence[int],
+    weight0: float = 1.0,  # reference initial weight (objective_base.py:704)
+    gamma: float = 0.1,
+    fidelity_thr: Optional[float] = None,
+    maxiter: int = 100,
+    no_improve_iters: Optional[int] = None,
+) -> JitSurrogateResult:
+    """Optimizes one ASP horizon entirely on device with the FULL reference
+    surrogate — max-projection hysteresis + weight EMA carried through the
+    jitted L-BFGS loop (the production path of VERDICT round-1 item 2;
+    reference objective_lhs_sur_max.py:82-197).
+
+    Stops on ``fidelity > fidelity_thr`` (the EarlyStopper semantics — with a
+    live EMA weight, fobj is not 1 - fidelity, so the threshold must act on
+    the fidelity itself)."""
+    from ...utils import as_device
+
+    return _optimize_horizon_surrogate(
+        circ,
+        jnp.asarray(thetas0),
+        as_device(target),
+        tuple(int(i) for i in np.asarray(state_idx)),
+        float(weight0),
+        float(gamma),
+        None if fidelity_thr is None else float(fidelity_thr),
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
     )
 
 

@@ -131,19 +131,25 @@ def _model_function(
         delta=opts.delta,
         layer_range=layer_range,
     )
-    objv = _create_objective(
-        opts=opts, circ=circ, target=target, layer_range=layer_range
-    )
-    optimizer = optim.AqcOptimizer(
-        optimizer_name="lbfgs", maxiter=int(opts.maxiter), verbose=opts.verbose
-    )
-    result = optimizer.optimize(
-        objv,
-        circ,
-        thetas_0,
-        stopper=EarlyStopper(fidelity_thr=fid_thr),
-        timeout=TimeoutChecker(time_limit=opts.time_limit),
-    )
+    if getattr(opts, "use_jit_lbfgs", False):
+        result = _optimize_jit(
+            opts=opts, circ=circ, thetas_0=thetas_0, target=target,
+            fid_thr=fid_thr,
+        )
+    else:
+        objv = _create_objective(
+            opts=opts, circ=circ, target=target, layer_range=layer_range
+        )
+        optimizer = optim.AqcOptimizer(
+            optimizer_name="lbfgs", maxiter=int(opts.maxiter), verbose=opts.verbose
+        )
+        result = optimizer.optimize(
+            objv,
+            circ,
+            thetas_0,
+            stopper=EarlyStopper(fidelity_thr=fid_thr),
+            timeout=TimeoutChecker(time_limit=opts.time_limit),
+        )
     result.update(
         {
             "num_qubits": circ.num_qubits,
@@ -154,6 +160,70 @@ def _model_function(
     )
     _logger.info("Final objective function value: %0.6f", float(result["cost"]))
     return result
+
+
+def _optimize_jit(
+    *,
+    opts: UserOptions,
+    circ: TrotterAnsatz,
+    thetas_0: np.ndarray,
+    target: Union[MPS, np.ndarray],
+    fid_thr: float,
+) -> dict:
+    """Fully on-device horizon optimization (opts.use_jit_lbfgs): one XLA
+    program runs the surrogate objective — including the reference's
+    hysteresis and weight-EMA state — and the whole L-BFGS loop.  Returns
+    the same result dict shape as the host AqcOptimizer path."""
+    from ...config import complex_dtype
+    from ...utils import to_host
+    from . import jit_asp
+
+    rdtype = np.float32 if np.dtype(complex_dtype()) == np.complex64 else np.float64
+    thetas_0 = np.asarray(thetas_0, dtype=rdtype)
+    if opts.use_mps:
+        prep = opts.ini_state_func[0](circ.num_qubits)
+        base = 0
+        for gate in prep:
+            assert gate.name == "x", "jit MPS path expects an X-layer prep"
+            base ^= 1 << gate.qubits[0]
+        base_bits = tuple((base >> k) & 1 for k in range(circ.num_qubits))
+        res = jit_asp.optimize_horizon_mps_jit(
+            circ,
+            thetas_0,
+            target,
+            base_bits=base_bits,
+            trunc_thr=float(opts.trunc_thr),
+            fidelity_thr=fid_thr,
+            maxiter=int(opts.maxiter),
+        )
+        weight = 0.0
+    else:
+        idx = jit_asp.flip_state_indices(
+            circ.num_qubits, opts.ini_state_func[0](circ.num_qubits)
+        )
+        res = jit_asp.optimize_horizon_surrogate_jit(
+            circ,
+            thetas_0,
+            target,
+            state_idx=idx,
+            fidelity_thr=fid_thr,
+            maxiter=int(opts.maxiter),
+        )
+        weight = float(np.asarray(res.weight))
+    num_iters = int(np.asarray(res.num_iters))
+    return {
+        "cost": float(np.asarray(res.fobj)),
+        "num_iters": num_iters,
+        "num_fun_ev": num_iters,
+        "num_grad_ev": num_iters,
+        "ini_thetas": np.asarray(thetas_0).copy(),
+        "thetas": np.asarray(to_host(res.thetas), dtype=np.float64),
+        "blocks": circ.blocks.copy(),
+        "entangler": circ.entangler,
+        "stats": {"weight": weight, "use_jit_lbfgs": True},
+        "is_timeout": False,
+        "fidelity": float(np.asarray(res.fidelity)),
+    }
 
 
 def _time_evolution(

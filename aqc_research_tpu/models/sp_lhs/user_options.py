@@ -92,6 +92,13 @@ class UserOptions:
         # Debugging: store intermediate optimization results.
         self.save_intermediate_results = False
 
+        # Fully on-device optimization loop (models/sp_lhs/jit_asp.py): the
+        # surrogate objective (hysteresis + weight EMA) and the L-BFGS loop
+        # run as ONE XLA program per horizon — the TPU production path.
+        # The host path (SciPy protocol) remains the reference-parity path.
+        # Note: time_limit is not enforced inside the jitted loop.
+        self.use_jit_lbfgs = False
+
     @property
     def use_mps(self) -> bool:
         """MPS vs full vectors, derived from the objective name."""

@@ -1,0 +1,214 @@
+"""Pallas TPU kernel: batched one-sided Jacobi SVD.
+
+The XLA expression of the Brent-Luk schedule (ops/jacobi_svd.py) dispatches
+~30 small ops per phase — at (n-1)*sweeps ~ 1500 phases the per-op overhead
+dominates.  This kernel runs the ENTIRE phase loop inside one Pallas program:
+the matrices live in VMEM, each phase is a handful of VPU passes, and the
+batch dimension rides along elementwise — so a fleet of B matrices costs
+VPU-throughput, not B serial decompositions (the failure mode of the stock
+eigh on this backend, see benchmarks/probe_decomp_primitives.py; measured
+speedup vs the gram-eigh truncated SVD: ~3x at the pair-update shape,
+benchmarks/probe_pallas_jacobi.py).
+
+Design choices:
+
+* complex arithmetic is spelled out on separate re/im f32 planes (Pallas TPU
+  has no complex dtype);
+* matrices are processed TRANSPOSED: row j of the working array is column j
+  of the input, so "column pair" rotations are sublane-block operations with
+  the full lane-width row dimension;
+* V is NOT accumulated in the kernel — the right factor is recovered outside
+  as ``vh = diag(1/s) u^H m`` (one batched MXU matmul), halving the VPU work;
+* the batch is processed in VMEM-sized chunks via the Pallas grid.
+
+Numerical spec and schedule are identical to ops/jacobi_svd.py (the pure-XLA
+reference, parity-tested against it and LAPACK).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .jacobi_svd import DEFAULT_SWEEPS
+
+_EPS32 = float(jnp.finfo(jnp.float32).eps)
+
+# Matrices per grid step: bounded by VMEM (in 2 + out 2 + carry 4 arrays of
+# (CHUNK, n, n)/2 f32 each; CHUNK=8 at n=128 uses ~3 MB of the 16 MB budget).
+_BATCH_CHUNK = 8
+
+
+def _jacobi_kernel_body(sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
+    """One-sided Jacobi on a (chunk, n, n) block of transposed matrices."""
+    b, n, _ = m_re_ref.shape
+    p = n // 2
+
+    def phase(_, carry):
+        wl_re, wl_im, wr_re, wr_im = carry
+
+        # 2x2 Gram of every (L[j], R[j]) column pair: a, b real; c complex.
+        aa = jnp.sum(wl_re * wl_re + wl_im * wl_im, axis=-1)  # (b, p)
+        bb = jnp.sum(wr_re * wr_re + wr_im * wr_im, axis=-1)
+        c_re = jnp.sum(wl_re * wr_re + wl_im * wr_im, axis=-1)
+        c_im = jnp.sum(wl_re * wr_im - wl_im * wr_re, axis=-1)
+
+        abs_c = jnp.sqrt(c_re * c_re + c_im * c_im)
+        active = abs_c > _EPS32 * jnp.sqrt(jnp.maximum(aa * bb, 1e-30))
+        safe_c = jnp.where(active, abs_c, 1.0)
+        ph_re = jnp.where(active, c_re / safe_c, 1.0)
+        ph_im = jnp.where(active, c_im / safe_c, 0.0)
+        tau = (bb - aa) / (2.0 * safe_c)
+        # sign(0) must be +1: equal norms still need the full pi/4 rotation.
+        sgn = jnp.where(tau >= 0, 1.0, -1.0)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        cs = jax.lax.rsqrt(1.0 + t * t)
+        sn_r = t * cs
+        cs = jnp.where(active, cs, 1.0)
+        sn_r = jnp.where(active, sn_r, 0.0)
+
+        # sn = sn_r * phase ; sn_c = sn_r * conj(phase); broadcast over lanes.
+        cs = cs[:, :, None]
+        sn_re = (sn_r * ph_re)[:, :, None]
+        sn_im = (sn_r * ph_im)[:, :, None]
+
+        # L' = cs L - conj(sn) R ;  R' = sn L + cs R   (complex)
+        nl_re = cs * wl_re - (sn_re * wr_re + sn_im * wr_im)
+        nl_im = cs * wl_im - (sn_re * wr_im - sn_im * wr_re)
+        nr_re = sn_re * wl_re - sn_im * wl_im + cs * wr_re
+        nr_im = sn_re * wl_im + sn_im * wl_re + cs * wr_im
+
+        def seats(l, r):
+            # Round-robin: L <- [l0, r0, l1..l_{p-2}], R <- [r1.., l_{p-1}].
+            nl = jnp.concatenate(
+                [l[:, :1, :], r[:, :1, :], l[:, 1 : p - 1, :]], axis=1
+            )
+            nr = jnp.concatenate([r[:, 1:, :], l[:, p - 1 :, :]], axis=1)
+            return nl, nr
+
+        wl_re, wr_re = seats(nl_re, nr_re)
+        wl_im, wr_im = seats(nl_im, nr_im)
+        return (wl_re, wl_im, wr_re, wr_im)
+
+    carry = (
+        m_re_ref[:, :p, :],
+        m_im_ref[:, :p, :],
+        m_re_ref[:, p:, :],
+        m_im_ref[:, p:, :],
+    )
+    carry = jax.lax.fori_loop(0, (n - 1) * sweeps, phase, carry)
+    wl_re, wl_im, wr_re, wr_im = carry
+
+    w_re_ref[:, :p, :] = wl_re
+    w_re_ref[:, p:, :] = wr_re
+    w_im_ref[:, :p, :] = wl_im
+    w_im_ref[:, p:, :] = wr_im
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _jacobi_pallas_raw(m_re, m_im, sweeps: int):
+    """Runs the kernel on transposed re/im planes (B, n, n); B must be a
+    multiple of _BATCH_CHUNK.  Returns (w_re, w_im) with W = (m V)^T rows."""
+    b, n, _ = m_re.shape
+    chunk = min(_BATCH_CHUNK, b)
+    assert b % chunk == 0
+    out = jax.ShapeDtypeStruct((b, n, n), jnp.float32)
+    kernel = partial(_jacobi_kernel_body, sweeps)
+    spec = pl.BlockSpec(
+        (chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # Interpreter mode off-TPU (CPU test backend) — same numerics.
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return pl.pallas_call(
+        kernel,
+        grid=(b // chunk,),
+        out_shape=(out, out),
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        interpret=interpret,
+    )(m_re, m_im)
+
+
+def _jacobi_u_s(m: jax.Array, sweeps: int, k: int):
+    """Kernel run + sort + truncate to k: returns (u_k, s_k, inv_k, mb,
+    batch_shape) with u_k (B, n, k) isometric columns."""
+    n = m.shape[-1]
+    assert m.shape[-2] == n and n % 2 == 0
+    batch_shape = m.shape[:-2]
+    mb = m.reshape((-1, n, n))
+    b = mb.shape[0]
+    chunk = min(_BATCH_CHUNK, max(b, 1))
+    b_pad = -(-b // chunk) * chunk
+    mb_pad = mb
+    if b_pad != b:
+        mb_pad = jnp.concatenate(
+            [mb, jnp.zeros((b_pad - b, n, n), mb.dtype)], axis=0
+        )
+    # Transpose so columns become rows (lane dim = original row index).
+    mt = jnp.swapaxes(mb_pad, -1, -2)
+    m_re = jnp.real(mt).astype(jnp.float32)
+    m_im = jnp.imag(mt).astype(jnp.float32)
+
+    w_re, w_im = _jacobi_pallas_raw(m_re, m_im, sweeps)
+    w_re, w_im = w_re[:b], w_im[:b]
+
+    s = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=-1))  # (B, n)
+    cdtype = mb.dtype if jnp.iscomplexobj(mb) else jnp.complex64
+    w = (w_re + 1j * w_im).astype(cdtype)
+
+    order = jnp.argsort(-s, axis=-1)[..., :k]
+    s = jnp.take_along_axis(s, order, axis=-1)
+    w = jnp.take_along_axis(w, order[..., :, None], axis=-2)
+
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    u = jnp.swapaxes(w * inv[..., :, None].astype(w.dtype), -1, -2)
+    return u, s, inv, mb, batch_shape
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def jacobi_svd_pallas(
+    m: jax.Array, sweeps: int = DEFAULT_SWEEPS, sort: bool = True
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched SVD with the Pallas Jacobi kernel; same contract as
+    :func:`aqc_research_tpu.ops.jacobi_svd.jacobi_svd` (f32/c64 only).
+
+    ``m``: (..., n, n) complex64 (or float32), n even; n a multiple of the
+    128 VPU lane width is the efficient case.  Leading axes are flattened
+    into the batch (padded to the kernel's chunk size)."""
+    del sort  # always sorted
+    n = m.shape[-1]
+    u, s, inv, mb, batch_shape = _jacobi_u_s(m, sweeps, n)
+    # Right factor recovered on the MXU: vh = diag(1/s) u^H m — the same
+    # recovery the gram path uses; exact for exact u, and zero rows for
+    # masked/zero singular values.
+    vh = inv[..., :, None].astype(u.dtype) * jnp.einsum(
+        "...ji,...jk->...ik", jnp.conj(u), mb
+    )
+    return (
+        u.reshape(batch_shape + (n, n)),
+        s.reshape(batch_shape + (n,)),
+        vh.reshape(batch_shape + (n, n)),
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def jacobi_svd_pallas_top_k(
+    m: jax.Array, k: int, sweeps: int = DEFAULT_SWEEPS
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k truncated SVD via the Pallas kernel (the MPS pair-update shape:
+    k = chi, n = 2*chi)."""
+    n = m.shape[-1]
+    u, s, inv, mb, batch_shape = _jacobi_u_s(m, sweeps, k)
+    vh = inv[..., :, None].astype(u.dtype) * jnp.einsum(
+        "...ji,...jk->...ik", jnp.conj(u), mb
+    )
+    return (
+        u.reshape(batch_shape + (n, k)),
+        s.reshape(batch_shape + (k,)),
+        vh.reshape(batch_shape + (k, n)),
+    )

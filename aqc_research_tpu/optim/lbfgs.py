@@ -124,11 +124,60 @@ def minimize_lbfgs_compact(
     (value, gradient) function — e.g. the analytic MPS co-sweep, where
     differentiating through truncated SVDs is ill-conditioned.
     """
-    m = int(memory_size)
-    n = x0.shape[0]
     vgrad = (
         jax.value_and_grad(fun) if value_and_grad_fn is None else value_and_grad_fn
     )
+    res, _ = minimize_lbfgs_compact_stateful(
+        lambda x, st: (fun(x), st),
+        lambda x, st: vgrad(x) + (st,),
+        x0,
+        (),
+        maxiter=maxiter,
+        fobj_thr=fobj_thr,
+        no_improve_iters=no_improve_iters,
+        memory_size=memory_size,
+        max_backtracks=max_backtracks,
+        c1=c1,
+    )
+    return res
+
+
+def minimize_lbfgs_compact_stateful(
+    value_fn: Callable,
+    value_and_grad_fn: Callable,
+    x0: jax.Array,
+    obj_state0,
+    *,
+    maxiter: int,
+    fobj_thr: Optional[float] = None,
+    no_improve_iters: Optional[int] = None,
+    memory_size: int = 10,
+    max_backtracks: int = 20,
+    c1: float = 1e-4,
+    stop_fn: Optional[Callable] = None,
+):
+    """Compact jitted L-BFGS threading an objective-state pytree through
+    every evaluation — the functional form of the reference's STATEFUL
+    objectives (hysteresis / EMA bookkeeping in
+    ``objective_lhs_sur_max.py:110-117,185-186``).
+
+    Args:
+        value_fn: ``(x, obj_state) -> (f, obj_state')`` — one objective
+            evaluation; mutations here mirror the reference ``objective()``
+            (e.g. max-projection hysteresis).  Called at linesearch trials.
+        value_and_grad_fn: ``(x, obj_state) -> (f, g, obj_state')`` — a
+            fused objective+gradient evaluation; mutations here additionally
+            mirror the reference ``gradient()`` (e.g. the weight EMA).
+        obj_state0: initial objective-state pytree (arrays only).
+        stop_fn: optional ``obj_state -> bool`` extra stop condition,
+            checked after each accepted step (e.g. fidelity threshold).
+
+    Returns:
+        (JitMinimizeResult, final objective state).
+    """
+    m = int(memory_size)
+    n = x0.shape[0]
+    vgrad = value_and_grad_fn
     fobj_thr_v = -jnp.inf if fobj_thr is None else fobj_thr
     no_imp = maxiter + 1 if no_improve_iters is None else int(no_improve_iters)
     dtype = x0.dtype
@@ -163,30 +212,30 @@ def minimize_lbfgs_compact(
 
         return jax.lax.fori_loop(0, m, fwd, r)
 
-    def backtrack(x, f, grad, direction):
+    def backtrack(x, f, grad, direction, ost):
         """Armijo backtracking along ``direction`` (a descent direction)."""
         slope = jnp.dot(grad, direction)
 
-        def eval_at(step):
-            f_new = fun(x + step * direction)
+        def eval_at(step, ost):
+            f_new, ost = value_fn(x + step * direction, ost)
             ok = f_new <= f + c1 * step * slope
-            return f_new, ok
+            return f_new, ok, ost
 
         def bt_cond(carry):
-            _step, _f, ok, it = carry
+            _step, _f, ok, it, _ost = carry
             return jnp.logical_and(jnp.logical_not(ok), it < max_backtracks)
 
         def bt_body(carry):
-            step, _f, _ok, it = carry
+            step, _f, _ok, it, ost = carry
             new_step = step * 0.5
-            f_new, ok = eval_at(new_step)
-            return new_step, f_new, ok, it + 1
+            f_new, ok, ost = eval_at(new_step, ost)
+            return new_step, f_new, ok, it + 1, ost
 
-        f1, ok1 = eval_at(jnp.asarray(1.0, dtype))
-        step, f_new, ok, _ = jax.lax.while_loop(
-            bt_cond, bt_body, (jnp.asarray(1.0, dtype), f1, ok1, jnp.asarray(0))
+        f1, ok1, ost = eval_at(jnp.asarray(1.0, dtype), ost)
+        step, f_new, ok, _, ost = jax.lax.while_loop(
+            bt_cond, bt_body, (jnp.asarray(1.0, dtype), f1, ok1, jnp.asarray(0), ost)
         )
-        return step, f_new, ok
+        return step, f_new, ok, ost
 
     def cond(carry):
         it, stop = carry[0], carry[1]
@@ -194,15 +243,15 @@ def minimize_lbfgs_compact(
 
     def body(carry):
         (it, _, x, f, grad, s_hist, y_hist, rho_hist, hist_len,
-         best_f, best_x, since_best) = carry
+         best_f, best_x, since_best, ost) = carry
         direction = -two_loop(grad, s_hist, y_hist, rho_hist, hist_len)
         # Fall back to steepest descent when the direction is not descent.
         descent = jnp.dot(grad, direction) < 0
         direction = jnp.where(descent, direction, -grad)
 
-        step, f_new, ok = backtrack(x, f, grad, direction)
+        step, f_new, ok, ost = backtrack(x, f, grad, direction, ost)
         x_new = x + step * direction
-        _, g_new = vgrad(x_new)
+        _, g_new, ost = vgrad(x_new, ost)
 
         s = x_new - x
         y = g_new - grad
@@ -224,14 +273,19 @@ def minimize_lbfgs_compact(
             f_new < fobj_thr_v,
             jnp.logical_or(since_best > no_imp, jnp.logical_not(ok)),
         )
+        if stop_fn is not None:
+            stop = jnp.logical_or(stop, stop_fn(ost))
         return (it + 1, stop, x_new, f_new, g_new, s_hist, y_hist, rho_hist,
-                hist_len, best_f, best_x, since_best)
+                hist_len, best_f, best_x, since_best, ost)
 
     x0 = jnp.asarray(x0)
-    f0, g0 = vgrad(x0)
+    f0, g0, ost0 = vgrad(x0, obj_state0)
+    stop0 = f0 < fobj_thr_v
+    if stop_fn is not None:
+        stop0 = jnp.logical_or(stop0, stop_fn(ost0))
     carry = (
         jnp.asarray(0),
-        f0 < fobj_thr_v,
+        stop0,
         x0,
         f0,
         g0,
@@ -242,10 +296,11 @@ def minimize_lbfgs_compact(
         f0,
         x0,
         jnp.asarray(0),
+        ost0,
     )
     out = jax.lax.while_loop(cond, body, carry)
-    (it, stop, x_last, _, _, _, _, _, _, best_f, best_x, _) = out
-    return JitMinimizeResult(best_x, best_f, it, stop, x_last)
+    (it, stop, x_last, _, _, _, _, _, _, best_f, best_x, _, ost) = out
+    return JitMinimizeResult(best_x, best_f, it, stop, x_last), ost
 
 
 def minimize_adam(

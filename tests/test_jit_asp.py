@@ -66,6 +66,82 @@ class TestJitAsp:
         objv.objective(thetas0)
         assert abs(f_jit - (1.0 - objv.fidelity)) < 1e-12
 
+    def test_surrogate_stateful_matches_host(self):
+        """The on-device stateful surrogate reproduces the host sur_max
+        fobj / weight / max_no / gradient sequence exactly (VERDICT round-1
+        item 2): both are driven with the SAME theta sequence, mimicking the
+        paired objective()+gradient() calls of the SciPy L-BFGS-B protocol."""
+        import jax.numpy as jnp
+
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            SurrogateState,
+            make_surrogate_stateful,
+        )
+        from aqc_research_tpu.models.sp_lhs.sur_max import SpSurrogateObjectiveMax
+
+        circ, thetas0, target, idx = _setup()
+        params = {
+            "num_qubits": circ.num_qubits,
+            "max_flips": 1,
+            "maxiter": 50,
+            "verbose": False,
+            "enable_optim_stats": False,
+            "num_simulations": 1,
+            "state_prep_func": trotop.neel_init_state,
+        }
+        objv = SpSurrogateObjectiveMax(user_parameters=params, circ=circ)
+        objv.set_target(target)
+
+        _, vgrad = make_surrogate_stateful(circ, idx, gamma=0.1)
+        st = SurrogateState(
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(1.0, jnp.float64),  # reference initial weight
+            jnp.asarray(0.0, jnp.float64),
+            jnp.asarray(np.inf, jnp.float64),
+        )
+        tgt = jnp.asarray(target)
+
+        # A theta walk that visits far-from-optimal points (so the
+        # hysteresis actually switches max_no) and near-optimal ones.
+        rng = np.random.default_rng(7)
+        walk = [thetas0]
+        for scale in (2.0, 1.0, 0.5, 0.2, 0.1, 0.05):
+            walk.append(thetas0 + scale * rng.standard_normal(thetas0.size))
+
+        saw_nonzero_max = False
+        for th in walk:
+            f_host = objv.objective(th)
+            g_host = objv.gradient(th)
+            f_dev, g_dev, st = vgrad(jnp.asarray(th), st, tgt)
+            assert abs(float(f_dev) - f_host) < 1e-9
+            assert int(st.max_no) == objv._max_no
+            assert abs(float(st.weight) - objv._weight) < 1e-9
+            assert np.max(np.abs(np.asarray(g_dev) - g_host)) < 1e-9
+            saw_nonzero_max = saw_nonzero_max or int(st.max_no) != 0
+        assert saw_nonzero_max, "walk never exercised the hysteresis branch"
+
+    def test_optimize_horizon_surrogate(self):
+        """Full-surrogate on-device horizon optimization (hysteresis + EMA
+        in the loop) reaches the fidelity target."""
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            optimize_horizon_surrogate_jit,
+        )
+
+        circ, thetas0, target, idx = _setup()
+        rng = np.random.default_rng(3)
+        thetas_p = thetas0 + 0.2 * rng.standard_normal(thetas0.size)
+        res = optimize_horizon_surrogate_jit(
+            circ,
+            thetas_p,
+            target,
+            state_idx=idx,
+            fidelity_thr=0.999,
+            maxiter=150,
+        )
+        assert float(res.fidelity) > 0.999
+        assert bool(res.converged)
+        assert float(res.weight) > 0.0  # the EMA actually ran
+
     def test_optimize_horizon(self):
         circ, thetas0, target, idx = _setup()
         res = optimize_horizon_jit(

@@ -97,3 +97,22 @@ class TestRunSimulation:
         assert any(
             f.startswith("fidelity_profiles") for f in os.listdir(output_dir)
         )
+
+    @pytest.mark.parametrize("objective", ["sur_max", "sur_fast_mps_trotter"])
+    def test_mini_run_jit_lbfgs(self, tmp_path, objective):
+        """run_simulation with the fully on-device optimizer loop
+        (use_jit_lbfgs=True): same quality bars as the host path."""
+        opts = _mini_opts(tmp_path, objective, num_qubits=3, num_horizons=2)
+        opts.use_jit_lbfgs = True
+        opts.maxiter = 30
+        output_dir = run_simulation(opts)
+        import os
+        import pickle
+
+        with open(os.path.join(output_dir, "all_results.pkl"), "rb") as fld:
+            results = pickle.load(fld)
+        assert len(results) == 2
+        for res in results:
+            assert res["fid_a1_vs_gt"] > 0.9
+            assert res["fid_a1_vs_t1"] > 0.9
+            assert res["stats"]["use_jit_lbfgs"]
