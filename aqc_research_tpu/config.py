@@ -84,7 +84,7 @@ def is_tpu() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-_SVD_IMPLS = ("native", "gram", "embed")
+_SVD_IMPLS = ("native", "gram", "embed", "jacobi")
 _SVD_IMPL: str | None = os.environ.get("AQC_TPU_SVD_IMPL") or None
 
 
@@ -99,6 +99,11 @@ def set_svd_impl(impl: str | None) -> None:
     * ``"embed"``  — real-embedding eigh + masked complex MGS
       (ops/svd_tpu.svd_top_k).  Fallback for runtimes where complex
       decompositions genuinely fail; the sequential MGS makes it slow.
+    * ``"jacobi"`` — batched one-sided Jacobi SVD as a Pallas TPU kernel
+      (ops/pallas_jacobi.py; interpreter mode off-TPU).  f32 arithmetic
+      regardless of precision mode; the only impl whose cost does NOT scale
+      linearly with the batch, so half-layer pair updates and vmapped fleets
+      amortize.
     * ``None``     — auto: "gram" on TPU-like backends, "native" elsewhere.
 
     The choice is read at TRACE time — call ``jax.clear_caches()`` after
@@ -115,6 +120,27 @@ def svd_impl() -> str:
     if _SVD_IMPL is not None:
         return _SVD_IMPL
     return "gram" if is_tpu() else "native"
+
+
+_JACOBI_SWEEPS = int(os.environ.get("AQC_TPU_JACOBI_SWEEPS", "0")) or None
+
+
+def set_jacobi_sweeps(sweeps: int | None) -> None:
+    """Sweep count for the "jacobi" SVD impl (None = DEFAULT_SWEEPS).
+
+    The kernel cost is LINEAR in sweeps; convergence is quadratic once
+    columns are nearly orthogonal.  The MPS pair-update matrices have
+    decaying spectra, which converge faster than the random-matrix worst
+    case the default is validated on — lower values are legitimate there
+    when gradient parity is re-validated (tests/test_jacobi_svd.py).
+    Read at TRACE time; jax.clear_caches() after switching."""
+    global _JACOBI_SWEEPS
+    assert sweeps is None or sweeps >= 1
+    _JACOBI_SWEEPS = sweeps
+
+
+def jacobi_sweeps() -> int | None:
+    return _JACOBI_SWEEPS
 
 
 def set_eigh_svd(enabled: bool | None) -> None:

@@ -145,20 +145,20 @@ def apply_1q_many(mps: MPS, gates: jax.Array, sites: Tuple[int, ...]) -> MPS:
 
 
 def _safe_inv(lam: jax.Array, cutoff: float = 1e-12) -> jax.Array:
-    scale = jnp.max(lam)
+    scale = jnp.max(lam, axis=-1, keepdims=True)
     thr = cutoff * jnp.maximum(scale, 1e-300)
     return jnp.where(lam > thr, 1.0 / jnp.where(lam > thr, lam, 1.0), 0.0)
 
 
 def _truncation_mask(s: jax.Array, chi: int, trunc_thr: float):
     """Keep mask for singular values: discard the largest tail whose norm is
-    <= trunc_thr * ||S||, and cap the rank at chi."""
+    <= trunc_thr * ||S||, and cap the rank at chi.  Batched over leading axes."""
     s2 = s * s
-    total = jnp.sqrt(jnp.sum(s2))
+    total = jnp.sqrt(jnp.sum(s2, axis=-1))
     # tail_norm[i] = sqrt(sum_{j >= i} s_j^2)
-    tail = jnp.sqrt(jnp.cumsum(s2[::-1])[::-1])
-    keep = tail > (trunc_thr * total)
-    idx = jnp.arange(s.shape[0])
+    tail = jnp.sqrt(jnp.cumsum(s2[..., ::-1], axis=-1)[..., ::-1])
+    keep = tail > (trunc_thr * total[..., None])
+    idx = jnp.arange(s.shape[-1])
     return jnp.logical_and(keep, idx < chi), total
 
 
@@ -211,56 +211,99 @@ def _truncation_mask_topk(s: jax.Array, total: jax.Array, chi: int, trunc_thr: f
     """Keep mask given only the top-chi singular values and the full Frobenius
     norm ``total`` of the matrix: discard value i when the tail norm
     (everything from i on, including the unseen remainder) is
-    <= trunc_thr * total."""
+    <= trunc_thr * total.  Batched over leading axes."""
     s2 = s * s
-    head = jnp.concatenate([jnp.zeros(1, s.dtype), jnp.cumsum(s2)[:-1]])
-    tail = jnp.sqrt(jnp.maximum(total * total - head, 0.0))
-    return tail > (trunc_thr * total)
+    head = jnp.concatenate(
+        [jnp.zeros(s.shape[:-1] + (1,), s.dtype), jnp.cumsum(s2, axis=-1)[..., :-1]],
+        axis=-1,
+    )
+    tail = jnp.sqrt(jnp.maximum((total * total)[..., None] - head, 0.0))
+    return tail > (trunc_thr * total[..., None])
 
 
-def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdtype):
-    """Core Vidal pair update on raw tensors; returns (g1', g2', lam')."""
-    t1 = g1 * lam_l[None, :, None].astype(dtype)
-    t1 = t1 * lam_c[None, None, :].astype(dtype)
-    theta = jnp.einsum("sab,tbc->stac", t1, g2)
-    theta = theta * lam_r[None, None, None, :].astype(dtype)
+def _truncated_svd(m: jax.Array, chi: int, trunc_thr: float):
+    """Top-chi SVD + discarded-weight keep mask, dispatched on the global
+    ``svd_impl`` policy.  ``m``: (..., 2chi, 2chi); leading axes are batch.
 
-    g = jnp.asarray(gate4, dtype).reshape(2, 2, 2, 2)
-    theta = jnp.einsum("stuv,uvac->stac", g, theta)
-
-    m = jnp.transpose(theta, (0, 2, 1, 3)).reshape(2 * chi, 2 * chi)
-
+    Returns (u (..., 2chi, chi), s (..., chi), vh (..., chi, 2chi),
+    mask (..., chi) bool, total (...,) Frobenius norm of m).
+    """
     from ..config import svd_impl
 
     impl = svd_impl()
     if impl == "native":
         u, s, vh = jnp.linalg.svd(m, full_matrices=False)
         mask, total = _truncation_mask(s, chi, trunc_thr)
-        u, s, vh = u[:, :chi], s[:chi], vh[:chi, :]
-        mask = mask[:chi]
-    else:
-        # Top-chi factors without QDWH-SVD: "gram" = native complex eigh of
-        # the Gram matrix (MXU-friendly); "embed" = real-embedding eigh + MGS
-        # for runtimes where complex decompositions fail (ops/svd_tpu.py).
-        from .svd_tpu import svd_gram_top_k, svd_top_k
+        u, s, vh = u[..., :, :chi], s[..., :chi], vh[..., :chi, :]
+        mask = mask[..., :chi]
+        return u, s, vh, mask, total
+    if impl == "jacobi":
+        # Batched Pallas one-sided Jacobi kernel (ops/pallas_jacobi.py).
+        from ..config import jacobi_sweeps
+        from .jacobi_svd import DEFAULT_SWEEPS
+        from .pallas_jacobi import jacobi_svd_pallas_top_k
 
-        top_k = svd_gram_top_k if impl == "gram" else svd_top_k
-        u, s, vh = top_k(m, chi)  # (2chi, chi), (chi,), (chi, 2chi)
-        total = jnp.linalg.norm(m).astype(s.dtype)
+        sweeps = jacobi_sweeps() or DEFAULT_SWEEPS
+        u, s, vh = jacobi_svd_pallas_top_k(m, chi, sweeps)
+        total = jnp.linalg.norm(m, axis=(-2, -1)).astype(s.dtype)
         mask = _truncation_mask_topk(s, total, chi, trunc_thr)
+        return u, s, vh, mask, total
+    # Top-chi factors without QDWH-SVD: "gram" = native complex eigh of
+    # the Gram matrix (MXU-friendly); "embed" = real-embedding eigh + MGS
+    # for runtimes where complex decompositions fail (ops/svd_tpu.py).
+    from .svd_tpu import svd_gram_top_k, svd_top_k
+
+    top_k = svd_gram_top_k if impl == "gram" else svd_top_k
+    if m.ndim > 2:
+        batch_shape = m.shape[:-2]
+        mb = m.reshape((-1,) + m.shape[-2:])
+        u, s, vh = jax.vmap(lambda x: top_k(x, chi))(mb)
+        u = u.reshape(batch_shape + u.shape[-2:])
+        s = s.reshape(batch_shape + s.shape[-1:])
+        vh = vh.reshape(batch_shape + vh.shape[-2:])
+    else:
+        u, s, vh = top_k(m, chi)  # (2chi, chi), (chi,), (chi, 2chi)
+    total = jnp.linalg.norm(m, axis=(-2, -1)).astype(s.dtype)
+    mask = _truncation_mask_topk(s, total, chi, trunc_thr)
+    return u, s, vh, mask, total
+
+
+def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdtype):
+    """Core Vidal pair update on raw tensors; returns (g1', g2', lam').
+
+    Natively batched: every argument may carry identical leading batch axes
+    (``lam_*``: (..., chi), ``g1/g2``: (..., 2, chi, chi), ``gate4``:
+    (..., 4, 4)) — one call decomposes the whole batch, which is what lets
+    the batched Jacobi kernel amortize a half-layer of pair updates into a
+    single Pallas program instead of P serial decompositions.
+    """
+    t1 = g1 * lam_l[..., None, :, None].astype(dtype)
+    t1 = t1 * lam_c[..., None, None, :].astype(dtype)
+    theta = jnp.einsum("...sab,...tbc->...stac", t1, g2)
+    theta = theta * lam_r[..., None, None, None, :].astype(dtype)
+
+    g = jnp.asarray(gate4, dtype)
+    g = g.reshape(g.shape[:-2] + (2, 2, 2, 2))
+    theta = jnp.einsum("...stuv,...uvac->...stac", g, theta)
+
+    batch_shape = theta.shape[:-4]
+    m = jnp.swapaxes(theta, -3, -2).reshape(batch_shape + (2 * chi, 2 * chi))
+
+    u, s, vh, mask, total = _truncated_svd(m, chi, trunc_thr)
 
     s_kept = jnp.where(mask, s, 0.0)
-    kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept))
-    s_kept = s_kept * (total / jnp.maximum(kept_norm, 1e-300))
+    kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept, axis=-1))
+    s_kept = s_kept * (total / jnp.maximum(kept_norm, 1e-300))[..., None]
     new_lam = s_kept.astype(rdtype)
 
-    u = jnp.where(mask[None, :], u, 0.0)
-    vh = jnp.where(mask[:, None], vh, 0.0)
+    u = jnp.where(mask[..., None, :], u, 0.0)
+    vh = jnp.where(mask[..., :, None], vh, 0.0)
 
     inv_l = _safe_inv(lam_l).astype(dtype)
     inv_r = _safe_inv(lam_r).astype(dtype)
-    new_g1 = u.reshape(2, chi, chi) * inv_l[None, :, None]
-    new_g2 = jnp.transpose(vh.reshape(chi, 2, chi), (1, 0, 2)) * inv_r[None, None, :]
+    new_g1 = u.reshape(batch_shape + (2, chi, chi)) * inv_l[..., None, :, None]
+    new_g2 = jnp.swapaxes(vh.reshape(batch_shape + (chi, 2, chi)), -3, -2)
+    new_g2 = new_g2 * inv_r[..., None, None, :]
     return new_g1, new_g2, new_lam
 
 
@@ -297,11 +340,11 @@ def apply_pairs_mps(
     g1 = mps.gammas[lo]
     g2 = mps.gammas[lo + 1]
 
-    new_g1, new_g2, new_lam = jax.vmap(
-        lambda a, b, c, d, e, f: _pair_update(
-            a, b, c, d, e, f, chi, trunc_thr, dtype, rdtype
-        )
-    )(lam_l, lam_c, lam_r, g1, g2, gates4)
+    # _pair_update is natively batched: the whole run of disjoint pairs is
+    # ONE decomposition call (one Pallas program under the "jacobi" impl).
+    new_g1, new_g2, new_lam = _pair_update(
+        lam_l, lam_c, lam_r, g1, g2, jnp.asarray(gates4), chi, trunc_thr, dtype, rdtype
+    )
 
     gammas = mps.gammas.at[lo].set(new_g1).at[lo + 1].set(new_g2)
     lambdas = mps.lambdas.at[lo].set(new_lam)
@@ -311,6 +354,31 @@ def apply_pairs_mps(
 def _swap_gate(dtype):
     sw = jnp.zeros((4, 4), dtype)
     return sw.at[0, 0].set(1).at[3, 3].set(1).at[1, 2].set(1).at[2, 1].set(1)
+
+
+def apply_2q_any_mps(
+    mps: MPS,
+    gate4: jax.Array,
+    lo: int,
+    hi: int,
+    *,
+    trunc_thr: float = _NO_TRUNCATION_THR,
+) -> MPS:
+    """2-qubit gate on an ARBITRARY site pair lo < hi; ``gate4`` in (lo, hi)
+    index order.  Non-adjacent pairs route through a swap network (swap ``hi``
+    down to ``lo+1``, apply, swap back) — the same strategy Aer uses
+    internally for the reference's any-layout ``v_mul_mps``
+    (mps_operations.py:326-346)."""
+    assert 0 <= lo < hi < mps.num_sites
+    if hi == lo + 1:
+        return apply_2q_mps(mps, gate4, lo, trunc_thr=trunc_thr)
+    sw = _swap_gate(mps.gammas.dtype)
+    for k in range(hi - 1, lo, -1):
+        mps = apply_2q_mps(mps, sw, k, trunc_thr=trunc_thr)
+    mps = apply_2q_mps(mps, gate4, lo, trunc_thr=trunc_thr)
+    for k in range(lo + 1, hi):
+        mps = apply_2q_mps(mps, sw, k, trunc_thr=trunc_thr)
+    return mps
 
 
 def apply_gate_mps(
@@ -333,17 +401,7 @@ def apply_gate_mps(
         g = jnp.transpose(g, (1, 0, 3, 2))
     g = g.reshape(4, 4)
 
-    if hi == lo + 1:
-        return apply_2q_mps(mps, g, lo, trunc_thr=trunc_thr)
-
-    # Swap network: bring ``hi`` next to ``lo``.
-    sw = _swap_gate(mps.gammas.dtype)
-    for k in range(hi - 1, lo, -1):
-        mps = apply_2q_mps(mps, sw, k, trunc_thr=trunc_thr)
-    mps = apply_2q_mps(mps, g, lo, trunc_thr=trunc_thr)
-    for k in range(lo + 1, hi):
-        mps = apply_2q_mps(mps, sw, k, trunc_thr=trunc_thr)
-    return mps
+    return apply_2q_any_mps(mps, g, lo, hi, trunc_thr=trunc_thr)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -559,25 +617,33 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
     half = circ.half_layer_num_blocks if circ.is_trotterized else 0
 
     def block_gate_lo(g4, k):
-        """Gate k reordered into (lo, hi) site order; returns (gate, lo)."""
+        """Gate k reordered into (lo, hi) site order; returns (gate, lo, hi)."""
         ctrl, targ = int(circ.blocks[0, k]), int(circ.blocks[1, k])
-        lo = min(ctrl, targ)
-        assert abs(ctrl - targ) == 1, "MPS path expects nearest-neighbour blocks"
+        lo, hi = min(ctrl, targ), max(ctrl, targ)
         g = g4.reshape(2, 2, 2, 2)
         if ctrl > targ:  # (ctrl,targ)=(hi,lo) -> (lo,hi) order
             g = jnp.transpose(g, (1, 0, 3, 2))
-        return g.reshape(4, 4), lo
+        return g.reshape(4, 4), lo, hi
+
+    # Non-nearest-neighbour blocks (any ParametricCircuit layout, matching the
+    # reference's Aer-backed v_mul_mps, mps_operations.py:326-346) take a
+    # strictly sequential swap-network path; the batched/fused planning below
+    # assumes adjacent pairs.
+    all_adjacent = all(
+        abs(int(circ.blocks[0, k]) - int(circ.blocks[1, k])) == 1
+        for k in range(nb)
+    )
 
     def apply_block(mps_, k, g4):
-        g, lo = block_gate_lo(g4, k)
-        return apply_2q_mps(mps_, g, lo, trunc_thr=thr)
+        g, lo, hi = block_gate_lo(g4, k)
+        return apply_2q_any_mps(mps_, g, lo, hi, trunc_thr=thr)
 
     def apply_run(mps_, ks, gate_source):
         """Applies a consecutive run of blocks: same-pair gates multiply into
         one 4x4, disjoint pairs batch into ONE vmapped pair update."""
         per_pair: dict = {}
         for k in ks:
-            g, lo = block_gate_lo(gate_source(k), k)
+            g, lo, _ = block_gate_lo(gate_source(k), k)
             per_pair[lo] = g if lo not in per_pair else jnp.matmul(g, per_pair[lo])
         los = tuple(sorted(per_pair))
         if len(los) == 1:
@@ -605,6 +671,7 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
     bpl = circ.bpl if circ.is_trotterized else 0
     use_scan = (
         circ.is_trotterized
+        and all_adjacent
         and nb > 0
         and bpl > 0
         and nb % bpl == 0
@@ -634,12 +701,20 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
             mps_, _ = jax.lax.scan(body, mps_, g_layers)
             return mps_
         order = list(range(nb - 1, -1, -1) if dagger else range(nb))
+        if not all_adjacent:
+            for k in order:
+                mps_ = apply_block(mps_, k, gates[k])
+            return mps_
         for run in plan_runs(order):
             mps_ = apply_run(mps_, run, lambda k: gates[k])
         return mps_
 
     def apply_half(mps_):
         order = list(range(half - 1, -1, -1) if dagger else range(half))
+        if not all_adjacent:
+            for k in order:
+                mps_ = apply_block(mps_, k, gates[k])
+            return mps_
         for run in plan_runs(order):
             mps_ = apply_run(mps_, run, lambda k: gates[k])
         return mps_

@@ -165,7 +165,18 @@ def _jacobi_u_s(m: jax.Array, sweeps: int, k: int):
     s = jnp.take_along_axis(s, order, axis=-1)
     w = jnp.take_along_axis(w, order[..., :, None], axis=-2)
 
-    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    # Noise-direction guard.  Below-rank columns of m V are f32 rotation
+    # residue (norm ~ eps * s_max) whose DIRECTION can lie entirely inside
+    # the true column space; normalizing them yields garbage u columns, and
+    # the vh = diag(1/s) u^H m recovery cancels the tiny s against 1/s —
+    # keeping O(1) wrong contributions in u diag(s) vh.  (The gram-eigh path
+    # is immune: its unitary factor comes from eigh.)  Kill every direction
+    # below a relative floor safely above the measured orthogonality residue
+    # (~5e-7): its true weight is < 4e-6 * s_max, below f32 resolution.
+    s_floor = (32.0 * _EPS32) * s[..., :1]
+    keep = s > s_floor
+    s = jnp.where(keep, s, 0.0)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
     u = jnp.swapaxes(w * inv[..., :, None].astype(w.dtype), -1, -2)
     return u, s, inv, mb, batch_shape
 

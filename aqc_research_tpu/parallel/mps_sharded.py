@@ -82,11 +82,8 @@ def apply_pairs_mps_sharded(
     shard = NamedSharding(mesh, P(axis))
 
     def batched(ll, lc, lr, a, b, g):
-        return jax.vmap(
-            lambda p, q, r, s, t, u: _pair_update(
-                p, q, r, s, t, u, chi, trunc_thr, dtype, rdtype
-            )
-        )(ll, lc, lr, a, b, g)
+        # _pair_update is natively batched over the leading pair axis.
+        return _pair_update(ll, lc, lr, a, b, g, chi, trunc_thr, dtype, rdtype)
 
     # Constrain the pair axis onto the mesh: each device decomposes its own
     # slice of pairs; everything inside the vmap is device-local.

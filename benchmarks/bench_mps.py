@@ -26,12 +26,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(num_qubits: int = 20, chi: int = 64, layers: int = 4, batch: int = 1):
+def main(
+    num_qubits: int = 20,
+    chi: int = 64,
+    layers: int = 4,
+    batch: int = 1,
+    svd_impl: str | None = None,
+):
     import jax.numpy as jnp
 
-    from aqc_research_tpu.config import is_tpu, set_precision
+    from aqc_research_tpu.config import is_tpu, set_precision, set_svd_impl
 
     set_precision("fast" if is_tpu() else "high")
+    set_svd_impl(svd_impl)
 
     import aqc_research_tpu.targets.trotter as trotop
     from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
@@ -113,6 +120,7 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4, batch: int = 1):
                 "compile_s": round(compile_s, 1),
                 "num_thetas": circ.num_thetas,
                 "batch": batch,
+                "svd_impl": svd_impl or "auto",
                 "grad_norm": round(norm_val, 6),  # fetched — proves execution
             }
         )
@@ -126,4 +134,9 @@ if __name__ == "__main__":
 
         jax.config.update("jax_platforms", "cpu")
         argv.remove("--cpu")
-    main(*[int(a) for a in argv[:4]])
+    impl = None
+    for a in list(argv):
+        if a.startswith("--svd-impl="):
+            impl = a.split("=", 1)[1]
+            argv.remove(a)
+    main(*[int(a) for a in argv[:4]], svd_impl=impl)

@@ -105,4 +105,11 @@ def main(num_qubits: int = 20, chi: int = 64, layers: int = 4):
 
 
 if __name__ == "__main__":
-    main(*[int(a) for a in sys.argv[1:4]])
+    argv = sys.argv[1:]
+    for a in list(argv):
+        if a.startswith("--svd-impl="):
+            from aqc_research_tpu.config import set_svd_impl
+
+            set_svd_impl(a.split("=", 1)[1])
+            argv.remove(a)
+    main(*[int(a) for a in argv[:3]])
