@@ -208,15 +208,13 @@ def rz_mul_mps(angle, qubit: int, mps: mpsop.MPS) -> mpsop.MPS:
 
 
 def _two_q_mps(mps, gate, ctrl, targ, trunc_thr):
-    name = {"x": "cx", "z": "cz"}
-    g = mps
     lo, hi = min(ctrl, targ), max(ctrl, targ)
     mat = gate.reshape(2, 2, 2, 2)
     if ctrl > targ:
         mat = jnp.transpose(mat, (1, 0, 3, 2))
-    if hi == lo + 1:
-        return mpsop.apply_2q_mps(g, mat.reshape(4, 4), lo, trunc_thr=trunc_thr)
-    raise ValueError("non-adjacent 2q gates: use mpsop.apply_gate_mps (swap network)")
+    # Arbitrary site pairs, matching the reference contract (Aer handles the
+    # swap network internally; here apply_2q_any_mps does).
+    return mpsop.apply_2q_any_mps(mps, mat.reshape(4, 4), lo, hi, trunc_thr=trunc_thr)
 
 
 def cx_mul_mps(ctrl: int, targ: int, mps: mpsop.MPS, *, trunc_thr=None) -> mpsop.MPS:

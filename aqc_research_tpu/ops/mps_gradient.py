@@ -39,7 +39,13 @@ import numpy as np
 
 from ..circuit import gates as G
 from ..circuit.ansatz import Ansatz
-from .mps import MPS, apply_1q_mps, apply_2q_mps, no_truncation_threshold
+from .mps import (
+    MPS,
+    apply_1q_mps,
+    apply_2q_any_mps,
+    apply_2q_mps,
+    no_truncation_threshold,
+)
 
 
 # -----------------------------------------------------------------------------
@@ -135,6 +141,28 @@ class _EnvTracker:
             env = _env_left_step(env, _site_tensor(self.w, k), _site_tensor(self.z, k))
         return env
 
+    def dot_span(
+        self,
+        lo: int,
+        hi: int,
+        pauli_site: Optional[int],
+        pauli_mat,
+        w_override: Optional[MPS] = None,
+    ):
+        """<(P@)w | z> via the multi-site transfer over [lo, hi]:
+        L · T_lo · ... · T_hi · R[hi].  ``pauli_site`` None applies no Pauli.
+        Valid whenever sites > hi are unmodified since the last refresh —
+        which is what makes it work for non-nearest-neighbour blocks (every
+        site the swap network touched lies inside [lo, hi])."""
+        w = self.w if w_override is None else w_override
+        env = self._left if self._absorbed == lo else self._left_to(lo)
+        for q in range(lo, hi + 1):
+            aw = _site_tensor(w, q)
+            if pauli_site == q:
+                aw = jnp.einsum("ij,jab->iab", pauli_mat.astype(aw.dtype), aw)
+            env = _env_left_step(env, aw, _site_tensor(self.z, q))
+        return jnp.sum(env * self._right[hi])
+
     def dot_pair(
         self,
         lo: int,
@@ -142,20 +170,8 @@ class _EnvTracker:
         pauli_mat,
         w_override: Optional[MPS] = None,
     ):
-        """<(P@)w | z> via the two-site transfer at (lo, lo+1):
-        L · T_lo · T_hi · R[lo+1].  ``pauli_site`` None applies no Pauli."""
-        w = self.w if w_override is None else w_override
-        hi = lo + 1
-        aw_lo = _site_tensor(w, lo)
-        aw_hi = _site_tensor(w, hi)
-        if pauli_site == lo:
-            aw_lo = jnp.einsum("ij,jab->iab", pauli_mat.astype(aw_lo.dtype), aw_lo)
-        elif pauli_site == hi:
-            aw_hi = jnp.einsum("ij,jab->iab", pauli_mat.astype(aw_hi.dtype), aw_hi)
-        env = self._left if self._absorbed == lo else self._left_to(lo)
-        env = _env_left_step(env, aw_lo, _site_tensor(self.z, lo))
-        env = _env_left_step(env, aw_hi, _site_tensor(self.z, hi))
-        return jnp.sum(env * self._right[hi])
+        """<(P@)w | z> via the two-site transfer at (lo, lo+1)."""
+        return self.dot_span(lo, lo + 1, pauli_site, pauli_mat, w_override)
 
 
 # -----------------------------------------------------------------------------
@@ -232,7 +248,6 @@ def _fast_dot_gradient_impl(
         ctrl = int(circ.blocks[0, k])
         targ = int(circ.blocks[1, k])
         lo, hi = min(ctrl, targ), max(ctrl, targ)
-        assert hi == lo + 1, "MPS gradient expects nearest-neighbour blocks"
 
         def apply_both(gate, site):
             env_.w = apply_1q_mps(env_.w, gate, site)
@@ -243,30 +258,33 @@ def _fast_dot_gradient_impl(
         if trot and i_mod3 == 0:
             apply_both(G.rz(-np.pi / 2, dtype), ctrl)
 
+        # Non-adjacent blocks (any reference ParametricCircuit layout) apply
+        # through the swap network; every touched site lies in [lo, hi], so
+        # the dot_span transfers below remain valid without a refresh.
         ent = _entangler_4x4_lo_hi(circ, t, dtype, ctrl, targ)
-        env_.z = apply_2q_mps(env_.z, ent, lo, trunc_thr=trunc_thr)
+        env_.z = apply_2q_any_mps(env_.z, ent, lo, hi, trunc_thr=trunc_thr)
         if cp:
             # CP derivative is not unitary-proportional: two-point difference
             # of shifted CP gates (mps_dot_objective.py:186-196).
             ent2 = _entangler_4x4_lo_hi(circ, t, dtype, ctrl, targ, shift=np.pi)
-            w2 = apply_2q_mps(env_.w, ent2, lo, trunc_thr=trunc_thr)
-            env_.w = apply_2q_mps(env_.w, ent, lo, trunc_thr=trunc_thr)
+            w2 = apply_2q_any_mps(env_.w, ent2, lo, hi, trunc_thr=trunc_thr)
+            env_.w = apply_2q_any_mps(env_.w, ent, lo, hi, trunc_thr=trunc_thr)
             env_.mark_modified(hi)
-            cp_w_z = env_.dot_pair(lo, None, None)
-            cp_w_z2 = env_.dot_pair(lo, None, None, w_override=w2)
+            cp_w_z = env_.dot_span(lo, hi, None, None)
+            cp_w_z2 = env_.dot_span(lo, hi, None, None, w_override=w2)
             d4 = mask * (-0.5j) * (cp_w_z - cp_w_z2)
         else:
-            env_.w = apply_2q_mps(env_.w, ent, lo, trunc_thr=trunc_thr)
+            env_.w = apply_2q_any_mps(env_.w, ent, lo, hi, trunc_thr=trunc_thr)
             env_.mark_modified(hi)
 
         apply_both(G.ry(t[0], dtype), ctrl)
-        d0 = mask * 0.5j * env_.dot_pair(lo, ctrl, y_mat)
+        d0 = mask * 0.5j * env_.dot_span(lo, hi, ctrl, y_mat)
         apply_both(G.rz(t[1], dtype), ctrl)
-        d1 = mask * 0.5j * env_.dot_pair(lo, ctrl, z_pauli)
+        d1 = mask * 0.5j * env_.dot_span(lo, hi, ctrl, z_pauli)
         apply_both(G.ry(t[2], dtype), targ)
-        d2 = mask * 0.5j * env_.dot_pair(lo, targ, y_mat)
+        d2 = mask * 0.5j * env_.dot_span(lo, hi, targ, y_mat)
         apply_both(rs_fn(t[3], dtype), targ)
-        d3 = mask * 0.5j * env_.dot_pair(lo, targ, s_mat)
+        d3 = mask * 0.5j * env_.dot_span(lo, hi, targ, s_mat)
 
         if trot and i_mod3 == 2:
             apply_both(G.rz(np.pi / 2, dtype), targ)
@@ -661,6 +679,182 @@ def _layered_eligible(circ: Ansatz) -> bool:
     return True
 
 
+# -----------------------------------------------------------------------------
+# Layer-batched gradient for PLAIN (non-Trotter) layer-periodic ansatze, all
+# entanglers {cx, cz, cp}.  Same machinery as the Trotter triplet path
+# (environment stacks + pair-local 4x4 algebra + batched pair updates), with
+# per-block prefix composition instead of triplet lockstep, no Rz framings,
+# and the CP angle derivative in pair-local form: the reference's two-point
+# difference CP(a) - CP(a+pi) (mps_dot_objective.py:186-196) reduces to
+# -1j * <(pre^H P11 pre) w | z> because CP(a)^H CP(a+pi) = CZ = I - 2 P11.
+# -----------------------------------------------------------------------------
+
+
+def _plain_layer_period(circ: Ansatz) -> int:
+    """Smallest d dividing num_blocks with a d-periodic block pattern and at
+    least two layers; 0 if none."""
+    nb = circ.num_blocks
+    for d in range(1, nb // 2 + 1):
+        if nb % d:
+            continue
+        if all(
+            int(circ.blocks[0, k]) == int(circ.blocks[0, k % d])
+            and int(circ.blocks[1, k]) == int(circ.blocks[1, k % d])
+            for k in range(nb)
+        ):
+            return d
+    return 0
+
+
+def _plain_layered_eligible(circ: Ansatz) -> bool:
+    if circ.is_trotterized or circ.num_blocks == 0:
+        return False
+    if not all(
+        abs(int(circ.blocks[0, k]) - int(circ.blocks[1, k])) == 1
+        for k in range(circ.num_blocks)
+    ):
+        return False
+    return _plain_layer_period(circ) > 0
+
+
+def _plain_groups(circ: Ansatz, bpl: int):
+    """Splits one layer's block indices into maximal runs whose pairs are
+    pairwise disjoint-or-identical (such runs commute freely)."""
+    groups, current, pairs = [], [], set()
+    for k in range(bpl):
+        lo = min(int(circ.blocks[0, k]), int(circ.blocks[1, k]))
+        if current and any(abs(lo - p) == 1 for p in pairs):
+            groups.append(current)
+            current, pairs = [], set()
+        current.append(k)
+        pairs.add(lo)
+    if current:
+        groups.append(current)
+    return groups
+
+
+def _embed_1q(g, on_hi: bool):
+    """A single 1q gate embedded as 4x4 in (lo, hi) lo-major ordering."""
+    eye = G.eye2(g.dtype)
+    return G.kron2(eye, g) if on_hi else G.kron2(g, eye)
+
+
+def _plain_group_cosweep(
+    circ: Ansatz,
+    group,  # in-layer block indices, pairwise disjoint-or-identical pairs
+    layer_thetas,  # (bpl, tpb)
+    layer_masks,  # (bpl,)
+    w: MPS,
+    z: MPS,
+    trunc_thr: float,
+    dtype,
+):
+    """Processes one disjoint-pair run of a plain layer; returns
+    (w, z, dots (bpl, tpb)) with rows only for this group's blocks filled."""
+    cp = circ.entangler == "cp"
+    cx = circ.entangler == "cx"
+    tpb = circ.tpb
+    y_mat, z_mat, x_mat = G.y(dtype), G.z(dtype), G.x(dtype)
+    rs_fn, s_mat = (G.rx, x_mat) if cx else (G.rz, z_mat)
+
+    los: List[int] = []
+    blocks_info = []
+    for k in group:
+        ctrl, targ = int(circ.blocks[0, k]), int(circ.blocks[1, k])
+        lo = min(ctrl, targ)
+        if lo not in los:
+            los.append(lo)
+        blocks_info.append((k, ctrl > targ, los.index(lo)))
+
+    dots_rows = jnp.zeros((layer_thetas.shape[0], tpb), dtype)
+    _, _, l_stack, r_stack = _env_stacks(w, z)
+    n4 = _pair_env_tensors(w, z, l_stack, r_stack, tuple(los))  # (P, 4, 4)
+
+    prefix = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (len(los), 4, 4))
+    p11 = jnp.zeros((4, 4), dtype).at[3, 3].set(1.0)
+
+    for k, ctrl_is_hi, p in blocks_info:
+        th = layer_thetas[k]
+        msk = layer_masks[k].astype(dtype)
+        if cx:
+            ent = _cx_lo_hi(ctrl_is_hi, dtype)
+        elif cp:
+            # CP / CZ are diagonal-symmetric: orientation-free as 4x4.
+            ent = G.controlled(G.phase(th[4], dtype), dtype)
+        else:
+            ent = G.controlled(G.z(dtype), dtype)
+        pre = jnp.matmul(ent, prefix[p])
+        if cp:
+            y4 = jnp.einsum("ji,jk,kl->il", jnp.conj(pre), p11, pre)
+            dots_rows = dots_rows.at[k, 4].add(
+                (-1j) * jnp.sum(jnp.conj(y4) * n4[p]) * msk
+            )
+        specs = [
+            (G.ry, y_mat, ctrl_is_hi, 0),  # on ctrl
+            (G.rz, z_mat, ctrl_is_hi, 1),  # on ctrl
+            (G.ry, y_mat, not ctrl_is_hi, 2),  # on targ
+            (rs_fn, s_mat, not ctrl_is_hi, 3),  # on targ
+        ]
+        for gate_fn, pauli, on_hi, col in specs:
+            pre = jnp.matmul(_embed_1q(gate_fn(th[col], dtype), on_hi), pre)
+            p4 = _embed_pauli(pauli, on_hi)
+            y4 = jnp.einsum("ji,jk,kl->il", jnp.conj(pre), p4, pre)
+            dots_rows = dots_rows.at[k, col].add(
+                0.5j * jnp.sum(jnp.conj(y4) * n4[p]) * msk
+            )
+        prefix = prefix.at[p].set(pre)
+
+    order = np.argsort(los)
+    sorted_los = tuple(los[i] for i in order)
+    w, z = _apply_pairs_both(w, z, prefix[jnp.asarray(order)], sorted_los, trunc_thr)
+    return w, z, dots_rows
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _fast_dot_gradient_layered_plain(
+    circ: Ansatz,
+    thetas: jax.Array,
+    lvec: MPS,
+    vh_phi: MPS,
+    trunc_thr: float,
+    block_range: Tuple[int, int],
+    front_layer: bool,
+) -> jax.Array:
+    dtype = lvec.gammas.dtype
+    nb, tpb = circ.num_blocks, circ.tpb
+    bpl = _plain_layer_period(circ)
+    layers = nb // bpl
+    groups = _plain_groups(circ, bpl)
+
+    thetas1q = circ.subset1q(thetas)
+    thetas2q = circ.subset2q(thetas)
+    mask_np = np.zeros(nb)
+    mask_np[block_range[0] : block_range[1]] = 1.0
+    masks = jnp.asarray(mask_np)
+
+    w, z, grad1q = _front_cosweep_batched(
+        circ, thetas1q, lvec, vh_phi, front_layer, dtype
+    )
+
+    th_layers = thetas2q.reshape(layers, bpl, tpb)
+    m_layers = masks.reshape(layers, bpl)
+
+    def layer_body(carry, xs):
+        w_, z_ = carry
+        th_l, m_l = xs
+        dots = jnp.zeros((bpl, tpb), dtype)
+        for group in groups:
+            w_, z_, rows = _plain_group_cosweep(
+                circ, group, th_l, m_l, w_, z_, trunc_thr, dtype
+            )
+            dots = dots + rows
+        return (w_, z_), dots
+
+    (w, z), scanned = jax.lax.scan(layer_body, (w, z), (th_layers, m_layers))
+    grad2q = scanned.reshape(nb, tpb)
+    return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
+
+
 def fast_dot_gradient(
     circ: Ansatz,
     thetas,
@@ -675,16 +869,20 @@ def fast_dot_gradient(
 
     ``vh_phi`` must already hold ``V† phi`` (cached from the objective pass)
     — the same contract as the reference (mps_dot_objective.py:63-68).
-    Trotterized CX ansatze take the layer-batched path (6 batched SVD phases
-    per layer); other structures use the sequential env-cached sweep.
+    Trotterized CX ansatze take the triplet layer-batched path (6 batched SVD
+    phases per layer); plain layer-periodic nearest-neighbour ansatze (any
+    entangler cx/cz/cp) take the generic layer-batched path; everything else
+    (including non-nearest-neighbour layouts, via the swap network) uses the
+    sequential env-cached sweep.
     """
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
-    impl = (
-        _fast_dot_gradient_layered
-        if _layered_eligible(circ)
-        else _fast_dot_gradient_impl
-    )
+    if _layered_eligible(circ):
+        impl = _fast_dot_gradient_layered
+    elif _plain_layered_eligible(circ):
+        impl = _fast_dot_gradient_layered_plain
+    else:
+        impl = _fast_dot_gradient_impl
     return impl(
         circ,
         jnp.asarray(thetas),

@@ -95,3 +95,271 @@ class TestMpsFastDotGradient:
             assert np.max(np.abs(g_mps - g_dense)) < 1e-9
             # outside-range entries exactly zero
             assert np.all(circ.subset2q(g_mps)[: block_range[0]] == 0)
+
+
+# -----------------------------------------------------------------------------
+# Reference config matrix (test_mps_fast_dot_gradient.py:127-152 +
+# utils_dot_gradient_test.py:241-270): entanglers {cx, cz, cp}, structured AND
+# random (non-nearest-neighbour) layouts, all flip-bit variants, plus the
+# independent numeric-gradient harness run directly on the MPS objective.
+# -----------------------------------------------------------------------------
+
+from aqc_research_tpu.circuit.ansatz import Ansatz  # noqa: E402
+from aqc_research_tpu.circuit.structures import (  # noqa: E402
+    create_ansatz_structure,
+)
+from aqc_research_tpu.utils import rand_circuit  # noqa: E402
+
+from .oracle import oracle_matrix  # noqa: E402
+
+SQRT_EPS = float(np.sqrt(np.finfo(np.float64).eps))
+
+ENTANGLER_CONFIGS = [
+    (n, e, structured)
+    for n in (2, 3)
+    for e in ("cx", "cz", "cp")
+    for structured in ((True,) if n < 3 else (True, False))
+] + [(4, "cz", False), (4, "cp", False)]
+
+
+def _make_plain_circ(n, entangler, structured):
+    if structured:
+        depth = int(np.random.randint(n, 3 * n))
+        blocks = create_ansatz_structure(n, "spin", "full", depth)
+    else:
+        # Random layouts include NON-ADJACENT pairs: exercises the MPS swap
+        # network (reference accepts any ParametricCircuit layout via Aer).
+        depth = int(np.random.randint(n, 2 * n))
+        blocks = rand_circuit(n, depth)
+    return Ansatz.make(n, entangler, blocks)
+
+
+class TestMpsGradientEntanglers:
+    """fast_dot_gradient vs the dense co-sweep for {cx, cz, cp} x layouts
+    x flip bits — the full reference entangler matrix."""
+
+    @pytest.mark.parametrize("num_qubits,entangler,structured", ENTANGLER_CONFIGS)
+    def test_vs_dense(self, num_qubits, entangler, structured):
+        n = num_qubits
+        circ = _make_plain_circ(n, entangler, structured)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n  # exact
+
+        phi_mps = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        phi_dense = np.asarray(mpsop.mps_to_vector(phi_mps))
+        vh_phi_mps = mpsop.v_dagger_mul_mps(circ, thetas, phi_mps)
+        vh_phi_dense = np.asarray(v_dagger_mul_vec(circ, thetas, phi_dense))
+        assert (
+            relative_diff(np.asarray(mpsop.mps_to_vector(vh_phi_mps)), vh_phi_dense)
+            < 1e-8
+        )
+
+        for flip_bit in (-1, 0, int(np.random.randint(0, n))):
+            x_dense, x_mps = _flip_state_pair(n, flip_bit, chi)
+            g_mps = np.asarray(fast_dot_gradient(circ, thetas, x_mps, vh_phi_mps))
+            g_dense = np.asarray(
+                grad_of_dot_product(circ, thetas, x_dense, vh_phi_dense)
+            )
+            assert np.max(np.abs(g_mps - g_dense)) < 1e-9, (flip_bit, entangler)
+
+
+class TestMpsNumericGradient:
+    """The reference's independent numeric harness run ON THE MPS PATH
+    (utils_dot_gradient_test.py:166-238): central differences with step
+    halving -> relative error <= 1e-5 over the last 4 steps AND quadratic
+    Taylor-residual convergence."""
+
+    @pytest.mark.parametrize(
+        "num_qubits,entangler,trotter",
+        [(3, "cz", False), (3, "cp", False), (3, "cx", True)],
+    )
+    def test_numeric_and_taylor(self, num_qubits, entangler, trotter):
+        n = num_qubits
+        if trotter:
+            circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 2), True)
+        else:
+            circ = _make_plain_circ(n, entangler, structured=True)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+
+        target_thetas = thetas + 0.1 * rand_thetas(circ.num_thetas)  # close states
+        from aqc_research_tpu.circuit.export import ansatz_to_program
+
+        phi_mps = mpsop.mps_from_program(
+            ansatz_to_program(circ, target_thetas), n, chi_max=chi
+        )
+        phi_dense = np.asarray(mpsop.mps_to_vector(phi_mps))
+        _, lvec_mps = _flip_state_pair(n, -1, chi)
+
+        def objective_mps(th):
+            vh = mpsop.v_dagger_mul_mps(circ, th, phi_mps)
+            return complex(mpsop.mps_dot(lvec_mps, vh))
+
+        def objective_from_matrix(th):
+            v = oracle_matrix(circ, th)
+            return complex(np.vdot(v[:, 0], phi_dense))  # <0|V.H|phi> = conj(V|0>). phi
+
+        fobj = objective_mps(thetas)
+        assert abs(fobj - objective_from_matrix(thetas)) < SQRT_EPS
+
+        vh_phi = mpsop.v_dagger_mul_mps(circ, thetas, phi_mps)
+        grad = np.asarray(fast_dot_gradient(circ, thetas, lvec_mps, vh_phi))
+
+        tau = 0.25
+        residual_prev = 1e20
+        errors, orders = [], []
+        for step in range(12):
+            num_grad = np.zeros(thetas.size, dtype=complex)
+            th_tau = thetas.copy()
+            for i in range(thetas.size):
+                th_tau[i] = thetas[i] - tau
+                f_m = objective_from_matrix(th_tau)
+                th_tau[i] = thetas[i] + tau
+                f_p = objective_from_matrix(th_tau)
+                num_grad[i] = (f_p - f_m) / (2.0 * tau)
+                th_tau[i] = thetas[i]
+
+            grad_norm = max(np.linalg.norm(grad), np.finfo(np.float64).eps ** 2)
+            errors.append(float(np.linalg.norm(grad - num_grad) / grad_norm))
+
+            grad_dir = grad / grad_norm
+            delta = np.real(grad_dir * tau)
+            fobj_delta = objective_mps(thetas + delta)
+            residual = abs(fobj + np.dot(grad, delta) - fobj_delta)
+            orders.append(
+                0.0
+                if step == 0
+                else (np.log(residual_prev) - np.log(residual)) / np.log(2.0)
+            )
+            tau /= 2
+            residual_prev = residual
+
+        assert np.all(np.asarray(errors[-4:]) <= 1e-5), errors
+        assert np.all(
+            (1.8 <= np.asarray(orders[-4:])) & (np.asarray(orders[-4:]) <= 2.2)
+        ), orders
+
+
+class TestMpsPartialGradientRandomLayout:
+    """Partial-vs-full gradient with random block insertion into a RANDOM
+    (possibly non-adjacent) layout, on the MPS path
+    (utils_dot_gradient_test.py:88-163)."""
+
+    @pytest.mark.parametrize("entangler", ["cz", "cp"])
+    @pytest.mark.parametrize("front_layer", [False, True])
+    def test_partial_vs_full(self, entangler, front_layer):
+        n = 3
+        tol = SQRT_EPS
+        circ = Ansatz.make(n, entangler, rand_circuit(n, int(np.random.randint(n, 2 * n))))
+        new_blocks = rand_circuit(n, int(np.random.randint(1, n)))
+        insert_pos = int(np.random.randint(0, circ.num_blocks + 1))
+        block_range = (insert_pos, insert_pos + new_blocks.shape[1])
+        thetas = rand_thetas(circ.num_thetas)
+        circ, thetas, idx = circ.insert_unit_blocks(insert_pos, new_blocks, thetas)
+        assert np.all(thetas[idx] == 0)
+
+        chi = 2**n
+        phi_mps = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        _, lvec_mps = _flip_state_pair(n, -1, chi)
+        vh_phi = mpsop.v_dagger_mul_mps(circ, thetas, phi_mps)
+
+        g_full = np.asarray(fast_dot_gradient(circ, thetas, lvec_mps, vh_phi))
+        g_part = np.asarray(
+            fast_dot_gradient(
+                circ, thetas, lvec_mps, vh_phi,
+                block_range=block_range, front_layer=front_layer,
+            )
+        )
+
+        front_part, front_full = circ.subset1q(g_part), circ.subset1q(g_full)
+        if front_layer:
+            assert np.allclose(front_part, front_full, atol=tol, rtol=tol)
+        else:
+            assert np.allclose(front_part, 0, atol=tol, rtol=tol)
+        assert np.allclose(g_part[idx], g_full[idx], atol=tol, rtol=tol)
+        old = circ.subset2q(g_part)[: block_range[0], :]
+        assert old.size == 0 or np.allclose(old, 0, atol=tol, rtol=tol)
+        old = circ.subset2q(g_part)[block_range[1] :, :]
+        assert old.size == 0 or np.allclose(old, 0, atol=tol, rtol=tol)
+
+
+class TestMpsLayeredPlainPath:
+    """The generic layer-batched gradient (non-Trotter layer-periodic
+    ansatze, entanglers {cx, cz, cp}) must match both the sequential
+    env-cached sweep and the dense co-sweep."""
+
+    @pytest.mark.parametrize("entangler", ["cx", "cz", "cp"])
+    @pytest.mark.parametrize("layers", [2, 3])
+    def test_vs_sequential_and_dense(self, entangler, layers):
+        from aqc_research_tpu.ops.mps_gradient import (
+            _fast_dot_gradient_impl,
+            _plain_layered_eligible,
+        )
+
+        n = 3
+        one_layer = create_ansatz_structure(n, "spin", "full", n - 1)
+        blocks = np.concatenate([one_layer] * layers, axis=1)
+        circ = Ansatz.make(n, entangler, blocks)
+        assert _plain_layered_eligible(circ)
+
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+        phi_mps = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        phi_dense = np.asarray(mpsop.mps_to_vector(phi_mps))
+        vh_phi = mpsop.v_dagger_mul_mps(circ, thetas, phi_mps)
+        vh_dense = np.asarray(v_dagger_mul_vec(circ, thetas, phi_dense))
+        _, lvec = _flip_state_pair(n, -1, chi)
+        x_dense = np.zeros(2**n, complex)
+        x_dense[0] = 1
+
+        g_layered = np.asarray(fast_dot_gradient(circ, thetas, lvec, vh_phi))
+        g_seq = np.asarray(
+            _fast_dot_gradient_impl(
+                circ,
+                np.asarray(thetas),
+                lvec,
+                vh_phi,
+                float(mpsop.no_truncation_threshold()),
+                (0, circ.num_blocks),
+                True,
+            )
+        )
+        g_dense = np.asarray(grad_of_dot_product(circ, thetas, x_dense, vh_dense))
+        assert np.max(np.abs(g_layered - g_seq)) < 1e-10, entangler
+        assert np.max(np.abs(g_layered - g_dense)) < 1e-9, entangler
+
+    def test_partial_and_front_toggle(self):
+        from aqc_research_tpu.ops.mps_gradient import _plain_layered_eligible
+
+        n, layers = 3, 3
+        one_layer = create_ansatz_structure(n, "spin", "full", n - 1)
+        circ = Ansatz.make(n, "cp", np.concatenate([one_layer] * layers, axis=1))
+        assert _plain_layered_eligible(circ)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+        phi_mps = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        phi_dense = np.asarray(mpsop.mps_to_vector(phi_mps))
+        vh_phi = mpsop.v_dagger_mul_mps(circ, thetas, phi_mps)
+        vh_dense = np.asarray(v_dagger_mul_vec(circ, thetas, phi_dense))
+        _, lvec = _flip_state_pair(n, -1, chi)
+        x_dense = np.zeros(2**n, complex)
+        x_dense[0] = 1
+
+        bpl = n - 1
+        block_range = (bpl, 2 * bpl)  # second layer only
+        for front in (False, True):
+            g_mps = np.asarray(
+                fast_dot_gradient(
+                    circ, thetas, lvec, vh_phi,
+                    block_range=block_range, front_layer=front,
+                )
+            )
+            g_dense = np.asarray(
+                grad_of_dot_product(
+                    circ, thetas, x_dense, vh_dense,
+                    block_range=block_range, front_layer=front,
+                )
+            )
+            assert np.max(np.abs(g_mps - g_dense)) < 1e-9
+            assert np.all(circ.subset2q(g_mps)[: block_range[0]] == 0)
+            assert np.all(circ.subset2q(g_mps)[block_range[1] :] == 0)
