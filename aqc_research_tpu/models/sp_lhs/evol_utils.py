@@ -128,6 +128,8 @@ def get_commandline_args(parser: ArgumentParser) -> Any:
                         help="tag that makes simulation results distinguishable")
     parser.add_argument("-f", "--targets_file", default="", type=str, metavar="",
                         help="path to a file with precomputed targets")
+    parser.add_argument("--cpu", action="store_true",
+                        help="flag: force the CPU backend (f64 precision)")
     params = parser.parse_args()
     assert 2 <= params.num_qubits
     _logger.info("Command-line arguments: %s", params.__dict__)

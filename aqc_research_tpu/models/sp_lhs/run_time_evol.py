@@ -20,6 +20,21 @@ _logger = create_logger(__file__)
 
 def main() -> None:
     cargs = get_commandline_args(ArgumentParser(description=__doc__))
+
+    # Platform / precision policy: f64 parity precision needs the CPU
+    # backend (set via the config API — the env var alone is overridden by
+    # TPU platform plugins); TPU-like backends have no complex128, so the
+    # production run there uses the fast f32/c64 policy.
+    from ...config import is_tpu, set_precision
+
+    if getattr(cargs, "cpu", False):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        set_precision("high")
+    elif is_tpu():
+        set_precision("fast")
+
     opts = UserOptions(cargs)
     script_entry_point(lambda o: run_simulation(o), opts, _logger)
 
