@@ -104,7 +104,9 @@ def set_svd_impl(impl: str | None) -> None:
       regardless of precision mode; the only impl whose cost does NOT scale
       linearly with the batch, so half-layer pair updates and vmapped fleets
       amortize.
-    * ``None``     — auto: "gram" on TPU-like backends, "native" elsewhere.
+    * ``None``     — auto: "jacobi" on TPU-like backends (measured 1.8x the
+      gram impl on the 20q chi=64 MPS sweep with the adaptive sweep loop,
+      and convergence-validated in the jitted L-BFGS), "native" elsewhere.
 
     The choice is read at TRACE time — call ``jax.clear_caches()`` after
     switching if programs were already compiled.
@@ -119,7 +121,7 @@ def svd_impl() -> str:
     """The MPS truncated-SVD implementation in effect (see set_svd_impl)."""
     if _SVD_IMPL is not None:
         return _SVD_IMPL
-    return "gram" if is_tpu() else "native"
+    return "jacobi" if is_tpu() else "native"
 
 
 _JACOBI_SWEEPS = int(os.environ.get("AQC_TPU_JACOBI_SWEEPS", "0")) or None

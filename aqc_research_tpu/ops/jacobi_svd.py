@@ -35,9 +35,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# 12 sweeps: validated on random AND near-degenerate-cluster spectra — f32
-# reaches its accuracy floor (singular values ~6e-6 rel, orthonormality
-# ~5e-7) by sweep 12; f64 parity work should pass sweeps>=24 explicitly.
+# MAXIMUM sweep budget (the loop is adaptive — it stops as soon as a full
+# sweep's largest off-diagonal ratio drops below the dtype's convergence
+# floor).  12 covers random AND near-degenerate-cluster f32 spectra; f64
+# parity work should pass sweeps>=24 explicitly.  Real MPS pair-update
+# matrices typically converge in far fewer sweeps, which the adaptive loop
+# harvests automatically (fixed low budgets are unsafe: 4 sweeps produced
+# garbage objectives mid-optimization while 6 converged).
 DEFAULT_SWEEPS = 12
 
 
@@ -75,10 +79,15 @@ def _phase_update(al, ar, vl, vr, eps):
 
     ``al, ar``: (..., n, p) column blocks of the working matrix;
     ``vl, vr``: the same column blocks of the accumulated V.
+    Returns the updated blocks plus the largest pre-rotation off-diagonal
+    ratio ``|c| / sqrt(a b)`` (the adaptive-sweep convergence measure).
     """
     a = jnp.sum(jnp.abs(al) ** 2, axis=-2)  # (..., p) real
     b = jnp.sum(jnp.abs(ar) ** 2, axis=-2)
     c = jnp.sum(jnp.conj(al) * ar, axis=-2)  # complex
+
+    norm_ab = jnp.sqrt(jnp.maximum(a.real * b.real, 1e-30))
+    resid = jnp.max(jnp.abs(c) / jnp.maximum(norm_ab, 1e-30))
 
     cs, sn_r, phase = _pair_rotation(a.real, b.real, c, eps)
     cs = cs[..., None, :].astype(al.dtype)
@@ -89,7 +98,7 @@ def _phase_update(al, ar, vl, vr, eps):
     new_ar = sn * al + cs * ar
     new_vl = cs * vl - sn_c * vr
     new_vr = sn * vl + cs * vr
-    return new_al, new_ar, new_vl, new_vr
+    return new_al, new_ar, new_vl, new_vr, resid
 
 
 def _rotate_seats(l, r):
@@ -132,20 +141,34 @@ def jacobi_svd(
     al, ar = m[..., :, :p], m[..., :, p:]
     vl, vr = eye[..., :, :p], eye[..., :, p:]
 
+    # Adaptive sweeps (mirrors the Pallas kernel): run full sweeps until the
+    # largest pre-rotation off-diagonal ratio of a sweep drops below the
+    # dtype's convergence floor, bounded by ``sweeps``.
+    conv_tol = 1e-6 if rdtype == jnp.dtype(jnp.float32) else 1e-13
+
     def one_phase(carry, _):
-        al, ar, vl, vr = carry
-        al, ar, vl, vr = _phase_update(al, ar, vl, vr, eps)
+        al, ar, vl, vr, resid = carry
+        al, ar, vl, vr, r = _phase_update(al, ar, vl, vr, eps)
         al, ar = _rotate_seats(al, ar)
         vl, vr = _rotate_seats(vl, vr)
-        return (al, ar, vl, vr), None
+        return (al, ar, vl, vr, jnp.maximum(resid, r)), None
 
-    def one_sweep(carry, _):
-        carry, _ = jax.lax.scan(one_phase, carry, None, length=n - 1)
-        return carry, None
+    def sweep_cond(state):
+        k, resid, *_ = state
+        return jnp.logical_and(k < sweeps, resid >= conv_tol)
 
-    (al, ar, vl, vr), _ = jax.lax.scan(
-        one_sweep, (al, ar, vl, vr), None, length=sweeps
-    )
+    def sweep_body(state):
+        k, _, al, ar, vl, vr = state
+        (al, ar, vl, vr, resid), _ = jax.lax.scan(
+            one_phase,
+            (al, ar, vl, vr, jnp.zeros((), rdtype)),
+            None,
+            length=n - 1,
+        )
+        return (k + 1, resid, al, ar, vl, vr)
+
+    state = (jnp.int32(0), jnp.asarray(jnp.inf, rdtype), al, ar, vl, vr)
+    _, _, al, ar, vl, vr = jax.lax.while_loop(sweep_cond, sweep_body, state)
 
     a = jnp.concatenate([al, ar], axis=-1)
     v = jnp.concatenate([vl, vr], axis=-1)

@@ -44,13 +44,29 @@ _EPS32 = float(jnp.finfo(jnp.float32).eps)
 _BATCH_CHUNK = 8
 
 
-def _jacobi_kernel_body(sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
-    """One-sided Jacobi on a (chunk, n, n) block of transposed matrices."""
+# Convergence tolerance for the adaptive sweep loop: a full sweep whose
+# largest pre-rotation off-diagonal ratio |c| / sqrt(a b) stays below this
+# leaves the columns orthogonal to (better than) the f32 accuracy floor.
+_CONV_TOL = 1e-6
+
+
+def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
+    """One-sided Jacobi on a (chunk, n, n) block of transposed matrices.
+
+    ADAPTIVE sweep count: a while_loop runs full Brent-Luk sweeps until the
+    largest off-diagonal ratio seen during a sweep drops below _CONV_TOL (or
+    ``max_sweeps`` is hit).  Fixed low sweep counts are measurably unsafe —
+    mid-optimization pair matrices can need many more sweeps than the
+    perfect-init ones (an L-BFGS run at 4 sweeps produced garbage objectives
+    while 6 converged) — and the eigh this kernel replaces is itself
+    convergence-adaptive, so matching that is also what makes the cost
+    comparison honest.
+    """
     b, n, _ = m_re_ref.shape
     p = n // 2
 
     def phase(_, carry):
-        wl_re, wl_im, wr_re, wr_im = carry
+        wl_re, wl_im, wr_re, wr_im, resid = carry
 
         # 2x2 Gram of every (L[j], R[j]) column pair: a, b real; c complex.
         aa = jnp.sum(wl_re * wl_re + wl_im * wl_im, axis=-1)  # (b, p)
@@ -59,7 +75,9 @@ def _jacobi_kernel_body(sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
         c_im = jnp.sum(wl_re * wr_im - wl_im * wr_re, axis=-1)
 
         abs_c = jnp.sqrt(c_re * c_re + c_im * c_im)
-        active = abs_c > _EPS32 * jnp.sqrt(jnp.maximum(aa * bb, 1e-30))
+        norm_ab = jnp.sqrt(jnp.maximum(aa * bb, 1e-30))
+        resid = jnp.maximum(resid, jnp.max(abs_c / jnp.maximum(norm_ab, 1e-30)))
+        active = abs_c > _EPS32 * norm_ab
         safe_c = jnp.where(active, abs_c, 1.0)
         ph_re = jnp.where(active, c_re / safe_c, 1.0)
         ph_im = jnp.where(active, c_im / safe_c, 0.0)
@@ -93,16 +111,30 @@ def _jacobi_kernel_body(sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
 
         wl_re, wr_re = seats(nl_re, nr_re)
         wl_im, wr_im = seats(nl_im, nr_im)
-        return (wl_re, wl_im, wr_re, wr_im)
+        return (wl_re, wl_im, wr_re, wr_im, resid)
 
-    carry = (
+    def sweep_cond(state):
+        k, resid, *_ = state
+        return jnp.logical_and(k < max_sweeps, resid >= _CONV_TOL)
+
+    def sweep_body(state):
+        k, _, wl_re, wl_im, wr_re, wr_im = state
+        wl_re, wl_im, wr_re, wr_im, resid = jax.lax.fori_loop(
+            0, n - 1, phase, (wl_re, wl_im, wr_re, wr_im, jnp.float32(0.0))
+        )
+        return (k + 1, resid, wl_re, wl_im, wr_re, wr_im)
+
+    state = (
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
         m_re_ref[:, :p, :],
         m_im_ref[:, :p, :],
         m_re_ref[:, p:, :],
         m_im_ref[:, p:, :],
     )
-    carry = jax.lax.fori_loop(0, (n - 1) * sweeps, phase, carry)
-    wl_re, wl_im, wr_re, wr_im = carry
+    _, _, wl_re, wl_im, wr_re, wr_im = jax.lax.while_loop(
+        sweep_cond, sweep_body, state
+    )
 
     w_re_ref[:, :p, :] = wl_re
     w_re_ref[:, p:, :] = wr_re
