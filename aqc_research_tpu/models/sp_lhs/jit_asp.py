@@ -354,11 +354,18 @@ def _optimize_horizon_mps(
     maxiter: int,
     no_improve_iters,
 ) -> JitHorizonResult:
-    from ...ops.mps import mps_basis_state, mps_flip_amplitudes, v_dagger_mul_mps
+    from ...ops.mps import (
+        mps_basis_state,
+        mps_flip_amplitudes,
+        v_dagger_layer_cache_eligible,
+        v_dagger_mul_mps,
+        v_dagger_mul_mps_layers,
+    )
     from ...ops.mps_gradient import fast_dot_gradient
 
     chi = tgt.chi
     lvec = mps_basis_state(base_bits, chi, tgt.gammas.dtype)
+    use_cache = v_dagger_layer_cache_eligible(circ)
 
     def value(th):
         vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
@@ -366,13 +373,20 @@ def _optimize_horizon_mps(
         return (1.0 - jnp.abs(amps[0]) ** 2).real.astype(x0.dtype)
 
     def value_and_grad(th):
-        vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+        # The V† sweep's per-layer cache halves the gradient's z-side
+        # truncated decompositions (v_dagger_mul_mps_layers).
+        if use_cache:
+            vh, zcache = v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
+        else:
+            vh, zcache = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr), None
         amps = mps_flip_amplitudes(vh, base_bits)
         hs0 = amps[0]
         fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(x0.dtype)
         # Analytic MPS co-sweep — autodiff through truncated SVDs is
         # ill-conditioned; the co-sweep is exact (parity-tested vs dense).
-        grad = fast_dot_gradient(circ, th, lvec, vh, trunc_thr=trunc_thr)
+        grad = fast_dot_gradient(
+            circ, th, lvec, vh, trunc_thr=trunc_thr, z_layers=zcache
+        )
         grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(x0.dtype)
         return fobj, grad
 

@@ -78,9 +78,17 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
         self._store_latest_thetas(thetas)
         assert mpsop.check_mps(self.target) or isinstance(self.target, mpsop.MPS)
 
-        self._vh_target = mpsop.v_dagger_mul_mps(
-            self._circuit, thetas, self.target, trunc_thr=self._trunc_thr
-        )
+        if mpsop.v_dagger_layer_cache_eligible(self._circuit):
+            # Per-layer z cache: halves the gradient's z-side decompositions
+            # (consumed by fast_dot_gradient below).
+            self._vh_target, self._z_layers = mpsop.v_dagger_mul_mps_layers(
+                self._circuit, thetas, self.target, trunc_thr=self._trunc_thr
+            )
+        else:
+            self._vh_target = mpsop.v_dagger_mul_mps(
+                self._circuit, thetas, self.target, trunc_thr=self._trunc_thr
+            )
+            self._z_layers = None
         if self._base_bits is not None:
             # to_host: complex device->host transfer (CLAUDE.md).
             amps = to_host(
@@ -124,6 +132,7 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
                 trunc_thr=self._trunc_thr,
                 block_range=block_range,
                 front_layer=optimize_front_layer,
+                z_layers=getattr(self, "_z_layers", None),
             )
         )
 
@@ -142,6 +151,7 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
                     trunc_thr=self._trunc_thr,
                     block_range=block_range,
                     front_layer=optimize_front_layer,
+                    z_layers=getattr(self, "_z_layers", None),
                 )
             )
             grad_max *= -2 * self._weight * np.conj(self._hs[self._max_no])

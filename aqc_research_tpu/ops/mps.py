@@ -605,6 +605,117 @@ def v_dagger_mul_mps(circ, thetas, mps: MPS, *, trunc_thr: Optional[float] = Non
     return _v_mul_mps_impl(circ, jnp.asarray(thetas), mps, True, trunc_thr)
 
 
+def v_dagger_layer_cache_eligible(circ) -> bool:
+    """True when :func:`v_dagger_mul_mps_layers` supports ``circ`` (layered
+    Trotter structure taking the scan path)."""
+    nb = circ.num_blocks
+    bpl = circ.bpl if circ.is_trotterized else 0
+    return (
+        circ.is_trotterized
+        and nb > 0
+        and bpl > 0
+        and nb % bpl == 0
+        and nb // bpl >= 2
+        and all(
+            abs(int(circ.blocks[0, k]) - int(circ.blocks[1, k])) == 1
+            and circ.blocks[0, k] == circ.blocks[0, k % bpl]
+            and circ.blocks[1, k] == circ.blocks[1, k % bpl]
+            for k in range(nb)
+        )
+    )
+
+
+def v_dagger_mul_mps_layers(
+    circ, thetas, mps: MPS, *, trunc_thr: Optional[float] = None
+) -> Tuple[MPS, MPS]:
+    """``V† @ mps`` plus the per-layer intermediate cache for the co-sweep
+    gradient.
+
+    Returns ``(vh_phi, cache)`` where ``cache`` holds L+1 stacked states
+    (leading axis): ``cache[j]`` is the z state ENTERING gradient layer j
+    (``V_{layers>j}† @ mps``) and ``cache[L]`` the state entering the
+    trailing 2nd-order half-layer.  These are by-products of the V† sweep
+    itself — with them the gradient's forward co-sweep does not need to
+    re-apply each layer's last pair group to z (ops/mps_gradient.py), which
+    removes half of the gradient's z-side truncated decompositions.
+    Requires :func:`v_dagger_layer_cache_eligible`.
+    """
+    assert v_dagger_layer_cache_eligible(circ)
+    return _v_dagger_mul_mps_layers_impl(circ, jnp.asarray(thetas), mps, trunc_thr)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def _v_dagger_mul_mps_layers_impl(circ, thetas, mps: MPS, trunc_thr):
+    from .statevector import block_gates, front_gates
+
+    thr = _NO_TRUNCATION_THR if trunc_thr is None else float(trunc_thr)
+    dtype = mps.gammas.dtype
+    f1q = front_gates(circ, circ.subset1q(thetas), dtype, dagger=True)
+    gates = block_gates(circ, circ.subset2q(thetas), dtype, dagger=True)
+    nb, bpl = circ.num_blocks, circ.bpl
+    half = circ.half_layer_num_blocks
+    layers = nb // bpl
+
+    def apply_run(mps_, ks, gate_source):
+        per_pair: dict = {}
+        order_ks = []
+        for k in ks:
+            ctrl, targ = int(circ.blocks[0, k]), int(circ.blocks[1, k])
+            lo = min(ctrl, targ)
+            g = gate_source(k).reshape(2, 2, 2, 2)
+            if ctrl > targ:
+                g = jnp.transpose(g, (1, 0, 3, 2))
+            g = g.reshape(4, 4)
+            per_pair[lo] = g if lo not in per_pair else jnp.matmul(g, per_pair[lo])
+        los = tuple(sorted(per_pair))
+        if len(los) == 1:
+            return apply_2q_mps(mps_, per_pair[los[0]], los[0], trunc_thr=thr)
+        gstack = jnp.stack([per_pair[lo] for lo in los])
+        return apply_pairs_mps(mps_, gstack, los, trunc_thr=thr)
+
+    def plan_runs(ks):
+        runs, current, pairs = [], [], set()
+        for k in ks:
+            lo = min(int(circ.blocks[0, k]), int(circ.blocks[1, k]))
+            if current and any(abs(lo - p) == 1 for p in pairs):
+                runs.append(current)
+                current, pairs = [], set()
+            current.append(k)
+            pairs.add(lo)
+        if current:
+            runs.append(current)
+        return runs
+
+    # Trailing half-layer first (V† order), saved as cache[L].
+    out = mps
+    if half:
+        for run in plan_runs(list(range(half - 1, -1, -1))):
+            out = apply_run(out, run, lambda k: gates[k])
+    c_last = out
+
+    # Reversed layers with per-layer collection: ys[i] = C_i (state after
+    # processing i+1 daggered layers); cache[j] = C_{L-1-j}.
+    g_layers = gates[: layers * bpl].reshape(layers, bpl, 4, 4)[::-1]
+    order = list(range(bpl))[::-1]
+    runs = plan_runs(order)
+
+    def body(m_, g_l):
+        for run in runs:
+            m_ = apply_run(m_, run, lambda k: g_l[k])
+        return m_, m_
+
+    out, ys = jax.lax.scan(body, c_last, g_layers)
+
+    for q in range(circ.num_qubits):
+        out = apply_1q_mps(out, f1q[q], q)
+
+    cache = MPS(
+        jnp.concatenate([ys.gammas[::-1], c_last.gammas[None]], axis=0),
+        jnp.concatenate([ys.lambdas[::-1], c_last.lambdas[None]], axis=0),
+    )
+    return out, cache
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4))
 def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
     from .statevector import block_gates, front_gates

@@ -524,6 +524,7 @@ def _half_layer_cosweep(
     z: MPS,
     trunc_thr: float,
     dtype,
+    skip_z: bool = False,  # don't update z (caller substitutes a cached state)
 ):
     """Processes one chessboard half-layer; returns (w, z, dots (bpl, 4))
     with rows only for this group's blocks filled (others zero).
@@ -582,6 +583,11 @@ def _half_layer_cosweep(
             )
             prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
 
+    if skip_z:
+        from .mps import apply_pairs_mps
+
+        w = apply_pairs_mps(w, prefix, los, trunc_thr=trunc_thr)
+        return w, z, dots_rows
     w, z = _apply_pairs_both(w, z, prefix, los, trunc_thr)
     return w, z, dots_rows
 
@@ -657,6 +663,81 @@ def _fast_dot_gradient_layered(
         # Trailing half-layer == leading even group of layer 0; accumulate.
         w, z, rows = _half_layer_cosweep(
             circ, groups[0], th_layers[0], m_layers[0], w, z, trunc_thr, dtype
+        )
+        grad2q = grad2q.at[:bpl].add(rows)
+
+    return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
+
+
+@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def _fast_dot_gradient_layered_zcache(
+    circ: Ansatz,
+    thetas: jax.Array,
+    lvec: MPS,
+    vh_phi: MPS,
+    z_layers: MPS,  # stacked cache from v_dagger_mul_mps_layers
+    trunc_thr: float,
+    block_range: Tuple[int, int],
+    front_layer: bool,
+) -> jax.Array:
+    """Layered co-sweep consuming the V†-sweep's per-layer z cache: the LAST
+    pair group of every layer skips its z-side truncated update (the cached
+    next-boundary state substitutes), removing half of the gradient's z
+    decompositions.  Exact at no-truncation (the cached state IS the layer
+    boundary); under truncation both are equally valid chi-approximations of
+    the same exact state."""
+    dtype = lvec.gammas.dtype
+    nb, bpl, tpb = circ.num_blocks, circ.bpl, circ.tpb
+    layers = nb // bpl
+    groups = _layered_plan(circ)
+
+    thetas1q = circ.subset1q(thetas)
+    thetas2q = circ.subset2q(thetas)
+    mask_np = np.zeros(nb)
+    mask_np[block_range[0] : block_range[1]] = 1.0
+    masks = jnp.asarray(mask_np)
+
+    w, z, grad1q = _front_cosweep_batched(
+        circ, thetas1q, lvec, vh_phi, front_layer, dtype
+    )
+
+    th_layers = thetas2q.reshape(layers, bpl, tpb)
+    m_layers = masks.reshape(layers, bpl)
+    # cache[1:][j] = z state entering layer j+1 (cache[L] = trailing-half z).
+    z_next = MPS(z_layers.gammas[1:], z_layers.lambdas[1:])
+
+    def layer_body(carry, xs):
+        w_, z_ = carry
+        th_l, m_l, znx = xs
+        dots = jnp.zeros((bpl, 4), dtype)
+        for gi, group in enumerate(groups):
+            last = gi == len(groups) - 1
+            w_, z_, rows = _half_layer_cosweep(
+                circ, group, th_l, m_l, w_, z_, trunc_thr, dtype, skip_z=last
+            )
+            dots = dots + rows
+            if last:
+                z_ = znx
+        return (w_, z_), dots
+
+    (w, z), scanned = jax.lax.scan(
+        layer_body, (w, z), (th_layers, m_layers, z_next)
+    )
+    grad2q = scanned.reshape(nb, tpb)
+
+    half = circ.half_layer_num_blocks
+    if half:
+        # Trailing half-layer: z already holds cache[L]; no further z needed.
+        w, z, rows = _half_layer_cosweep(
+            circ,
+            groups[0],
+            th_layers[0],
+            m_layers[0],
+            w,
+            z,
+            trunc_thr,
+            dtype,
+            skip_z=True,
         )
         grad2q = grad2q.at[:bpl].add(rows)
 
@@ -864,11 +945,15 @@ def fast_dot_gradient(
     trunc_thr: float = no_truncation_threshold(),
     block_range: Optional[Tuple[int, int]] = None,
     front_layer: bool = True,
+    z_layers: Optional[MPS] = None,
 ) -> jax.Array:
     """Complex gradient of ``<lvec | V† | phi>`` with MPS states.
 
     ``vh_phi`` must already hold ``V† phi`` (cached from the objective pass)
     — the same contract as the reference (mps_dot_objective.py:63-68).
+    ``z_layers`` (optional): the per-layer boundary cache returned by
+    ``v_dagger_mul_mps_layers`` — when given (layered Trotter ansatze), the
+    co-sweep skips every layer's last z-side truncated update.
     Trotterized CX ansatze take the triplet layer-batched path (6 batched SVD
     phases per layer); plain layer-periodic nearest-neighbour ansatze (any
     entangler cx/cz/cp) take the generic layer-batched path; everything else
@@ -877,6 +962,19 @@ def fast_dot_gradient(
     """
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
+    if z_layers is not None and _layered_eligible(circ):
+        # The V†-sweep's per-layer cache (v_dagger_mul_mps_layers) halves
+        # the gradient's z-side decompositions.
+        return _fast_dot_gradient_layered_zcache(
+            circ,
+            jnp.asarray(thetas),
+            lvec,
+            vh_phi,
+            z_layers,
+            float(trunc_thr),
+            block_range,
+            bool(front_layer),
+        )
     if _layered_eligible(circ):
         impl = _fast_dot_gradient_layered
     elif _plain_layered_eligible(circ):

@@ -63,13 +63,14 @@ def bench_full_aqc(n: int = 5, depth: int = 160):
     np.random.seed(0)
     thetas = jnp.asarray(rand_thetas(circ.num_thetas))
 
-    @jax.jit
-    def obj_grad(th, tgt):
+    def obj_grad_body(th, tgt):
         vh_u = v_dagger_mul_mat(circ, th, tgt)
         hs = jnp.trace(vh_u) / dim
         fobj = 1.0 - jnp.real(hs)
         grad = grad_of_matrix_dot_product(circ, th, jnp.eye(dim, dtype=tgt.dtype), vh_u)
         return fobj, jnp.real(-grad / dim)
+
+    obj_grad = jax.jit(obj_grad_body)
 
     f, g = obj_grad(thetas, u_dev)
     f0 = float(np.asarray(f))  # fetch — proves execution
@@ -85,9 +86,57 @@ def bench_full_aqc(n: int = 5, depth: int = 160):
             {
                 "metric": f"full-AQC fused objective+gradient evals/sec, {n}q spin depth {depth}",
                 "value": round(1.0 / dt, 2),
-                "unit": "evals/s",
+                "unit": "evals/s (per-dispatch)",
                 "num_thetas": circ.num_thetas,
                 "fobj": round(f0, 6),
+            }
+        ),
+        flush=True,
+    )
+
+    # In-loop rate: the production path runs the WHOLE L-BFGS on device
+    # (models/sp_lhs/jit_asp pattern), so per-call dispatch latency is paid
+    # once per optimization, not once per evaluation.  The stateful solver
+    # threads an evaluation counter through every call (linesearch trials
+    # included) for an honest evals/s denominator.
+    from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact_stateful
+
+    loop_iters = 60
+
+    @jax.jit
+    def run_loop(th0, tgt):
+        def fval(x, st):
+            f, _ = obj_grad_body(x, tgt)
+            return f, st + 1
+
+        def fgrad(x, st):
+            f, gr = obj_grad_body(x, tgt)
+            return f, gr, st + 1
+
+        res, st = minimize_lbfgs_compact_stateful(
+            fval, fgrad, th0, jnp.zeros((), jnp.int32), maxiter=loop_iters
+        )
+        return res.fobj, st
+
+    fobj_end, n_evals = run_loop(thetas, u_dev)
+    fobj_end = float(np.asarray(fobj_end))  # fetch
+    n_evals = int(np.asarray(n_evals))
+    assert np.isfinite(fobj_end) and fobj_end < f0, (fobj_end, f0)
+    repeats = 5
+    tic = time.perf_counter()
+    for _ in range(repeats):
+        out, cnt = run_loop(thetas, u_dev)
+    out.block_until_ready()
+    dt_loop = (time.perf_counter() - tic) / repeats
+    print(
+        json.dumps(
+            {
+                "metric": f"full-AQC jitted L-BFGS eval rate, {n}q spin depth {depth}",
+                "value": round(n_evals / dt_loop, 2),
+                "unit": "evals/s (in-loop)",
+                "evals_per_run": n_evals,
+                "loop_iters": loop_iters,
+                "fobj_after": round(fobj_end, 6),
             }
         ),
         flush=True,
@@ -133,6 +182,37 @@ def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
     t_fleet = time.perf_counter() - tic
     assert np.all(np.isfinite(fb)), fb
 
+    # Batched-eval scaling diagnostic: raw objective+gradient at B=1 vs B,
+    # isolating compute scaling from the lockstep-linesearch effect.
+    from aqc_research_tpu.models.sp_lhs.jit_asp import make_surrogate_loss
+
+    loss = make_surrogate_loss(circ, tuple(int(i) for i in idx), 0.0)
+    vg = jax.value_and_grad(loss)
+    tgt = jnp.asarray(target)
+
+    @jax.jit
+    def eval1(th, t):
+        return vg(th, t)
+
+    @jax.jit
+    def evalB(ths, t):
+        return jax.vmap(vg, in_axes=(0, None))(ths, t)
+
+    b0 = jnp.asarray(batch0)
+    for f_, args in ((eval1, (b0[0], tgt)), (evalB, (b0, tgt))):
+        f_(*args)[1].block_until_ready()
+    reps = 30
+    tic = time.perf_counter()
+    for _ in range(reps):
+        out = eval1(b0[0], tgt)
+    out[1].block_until_ready()
+    t_e1 = (time.perf_counter() - tic) / reps
+    tic = time.perf_counter()
+    for _ in range(reps):
+        out = evalB(b0, tgt)
+    out[1].block_until_ready()
+    t_eb = (time.perf_counter() - tic) / reps
+
     print(
         json.dumps(
             {
@@ -141,6 +221,9 @@ def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
                 "unit": "x speedup vs sequential singles",
                 "t_single_s": round(t_single, 3),
                 "t_fleet_s": round(t_fleet, 3),
+                "eval_ms_b1": round(t_e1 * 1e3, 3),
+                "eval_ms_bB": round(t_eb * 1e3, 3),
+                "eval_batch_overhead_x": round(t_eb / t_e1, 2),
                 "best_fobj": round(float(fb.min()), 8),
                 "single_fobj": round(f1, 8),
             }

@@ -76,8 +76,11 @@ def main(
     # target/lvec must be TRACED arguments: letting jit close over
     # device-resident complex arrays fails on this runtime (CLAUDE.md).
     def one_sweep(th, tgt, lv):
-        vh = mpsop.v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
-        return fast_dot_gradient(circ, th, lv, vh, trunc_thr=trunc_thr)
+        if mpsop.v_dagger_layer_cache_eligible(circ):
+            vh, zc = mpsop.v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
+        else:
+            vh, zc = mpsop.v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr), None
+        return fast_dot_gradient(circ, th, lv, vh, trunc_thr=trunc_thr, z_layers=zc)
 
     if batch > 1:
         # Fleet mode: one sweep per theta vector, vmapped (multistart SPMD).

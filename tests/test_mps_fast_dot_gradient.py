@@ -363,3 +363,57 @@ class TestMpsLayeredPlainPath:
             assert np.max(np.abs(g_mps - g_dense)) < 1e-9
             assert np.all(circ.subset2q(g_mps)[: block_range[0]] == 0)
             assert np.all(circ.subset2q(g_mps)[block_range[1] :] == 0)
+
+
+class TestZLayerCachedGradient:
+    """The V†-sweep layer cache (v_dagger_mul_mps_layers) feeds
+    fast_dot_gradient(z_layers=...): at no-truncation the cached co-sweep is
+    EXACTLY the plain layered gradient (the cached boundary IS the state the
+    skipped z update would produce)."""
+
+    @pytest.mark.parametrize("num_qubits,second_order,layers", [
+        (3, True, 2), (4, True, 3), (4, False, 2),
+    ])
+    def test_cached_matches_plain(self, num_qubits, second_order, layers):
+        n = num_qubits
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, layers), second_order)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+        phi = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        assert mpsop.v_dagger_layer_cache_eligible(circ)
+
+        vh_a = mpsop.v_dagger_mul_mps(circ, thetas, phi)
+        vh_b, cache = mpsop.v_dagger_mul_mps_layers(circ, thetas, phi)
+        assert (
+            np.max(np.abs(
+                np.asarray(mpsop.mps_to_vector(vh_a))
+                - np.asarray(mpsop.mps_to_vector(vh_b))
+            )) < 1e-12
+        )
+
+        _, lvec = _flip_state_pair(n, -1, chi)
+        g_ref = np.asarray(fast_dot_gradient(circ, thetas, lvec, vh_a))
+        g_cached = np.asarray(
+            fast_dot_gradient(circ, thetas, lvec, vh_b, z_layers=cache)
+        )
+        assert np.max(np.abs(g_cached - g_ref)) < 1e-12
+
+    def test_cached_partial_gradient(self):
+        n, layers = 3, 3
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, layers), True)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+        phi = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        vh, cache = mpsop.v_dagger_mul_mps_layers(circ, thetas, phi)
+        _, lvec = _flip_state_pair(n, -1, chi)
+        block_range = (circ.bpl, 2 * circ.bpl)
+        for front in (False, True):
+            g_ref = np.asarray(fast_dot_gradient(
+                circ, thetas, lvec, vh,
+                block_range=block_range, front_layer=front,
+            ))
+            g_c = np.asarray(fast_dot_gradient(
+                circ, thetas, lvec, vh,
+                block_range=block_range, front_layer=front, z_layers=cache,
+            ))
+            assert np.max(np.abs(g_c - g_ref)) < 1e-12
