@@ -102,6 +102,41 @@ def _calc_fidelity_threshold(
     return fid_thr, fid_t1_vs_gt
 
 
+def _warm_start_thetas(
+    circ: TrotterAnsatz,
+    opts: UserOptions,
+    evol_time: float,
+    prev: dict,
+) -> Optional[np.ndarray]:
+    """Initial angles from the PREVIOUS horizon's solution: first L_prev
+    layers copy the optimized angles (V_prev ~ U(t_prev)); the appended
+    layers take the perfect Trotter init for the remaining time
+    t - t_prev, so V_init ~ Trotter(t - t_prev) V_prev ~ U(t).  Returns
+    None when shapes don't line up (falls back to the cold perfect init)."""
+    prev_layers = int(prev["num_layers"])
+    n = circ.num_qubits
+    if (
+        prev.get("num_qubits") != n
+        or prev_layers >= circ.num_layers
+        or float(prev["evol_time"]) >= evol_time
+        or np.asarray(prev["thetas"]).size != 3 * n + circ.tpb * prev_layers * circ.bpl
+    ):
+        return None
+    prev_thetas = np.asarray(prev["thetas"], dtype=float)
+    thetas = np.zeros(circ.num_thetas)
+    thetas[: 3 * n] = prev_thetas[: 3 * n]
+    th2q = circ.subset2q(thetas)
+    th2q[: prev_layers * circ.bpl] = prev_thetas[3 * n :].reshape(-1, circ.tpb)
+    trotop.init_ansatz_to_trotter(
+        circ,
+        thetas,
+        evol_time=evol_time - float(prev["evol_time"]),
+        delta=opts.delta,
+        layer_range=(prev_layers, circ.num_layers),
+    )
+    return thetas
+
+
 def _model_function(
     *,
     opts: UserOptions,
@@ -109,9 +144,11 @@ def _model_function(
     evol_time: float,
     target: Union[MPS, np.ndarray],
     fid_thr: float,
+    prev_solution: Optional[dict] = None,
 ) -> dict:
-    """Builds the ansatz with the perfect Trotter initialization and runs
-    L-BFGS (cf. time_evol_best_init.py:143-218)."""
+    """Builds the ansatz with the perfect Trotter initialization (or the
+    previous horizon's warm start) and runs L-BFGS
+    (cf. time_evol_best_init.py:143-218)."""
     tic = time.perf_counter()
     assert num_layers >= 1 and 0 < fid_thr <= 1
     _logger.info("#layers: %d, evol.time: %0.3f", num_layers, evol_time)
@@ -124,13 +161,22 @@ def _model_function(
         verbose=bool(opts.verbose),
     )
     circ = TrotterAnsatz.make(opts.num_qubits, blocks, opts.second_order_trotter)
-    thetas_0 = trotop.init_ansatz_to_trotter(
-        circ,
-        np.zeros(circ.num_thetas),
-        evol_time=evol_time,
-        delta=opts.delta,
-        layer_range=layer_range,
-    )
+    thetas_0 = None
+    if prev_solution is not None and getattr(opts, "warm_start_horizons", False):
+        thetas_0 = _warm_start_thetas(circ, opts, evol_time, prev_solution)
+        if thetas_0 is not None:
+            _logger.info(
+                "warm start from the previous horizon (%d layers)",
+                int(prev_solution["num_layers"]),
+            )
+    if thetas_0 is None:
+        thetas_0 = trotop.init_ansatz_to_trotter(
+            circ,
+            np.zeros(circ.num_thetas),
+            evol_time=evol_time,
+            delta=opts.delta,
+            layer_range=layer_range,
+        )
     if getattr(opts, "use_jit_lbfgs", False):
         result = _optimize_jit(
             opts=opts, circ=circ, thetas_0=thetas_0, target=target,
@@ -233,6 +279,7 @@ def _time_evolution(
     num_expansions: int,
     target: Union[TargetClassicState, TargetMpsState],
     output_dir: str,
+    prev_solution: Optional[dict] = None,
 ) -> dict:
     """One time horizon: optimize, expand when fidelity falls short, recompute
     without truncation at the end (cf. time_evol_best_init.py:221-334)."""
@@ -255,6 +302,7 @@ def _time_evolution(
             evol_time=target.evol_time,
             target=target.t1_gt,
             fid_thr=fidelity_thr,
+            prev_solution=prev_solution,
         )
         _logger.info("done |a1> state in %0.3f secs", time.perf_counter() - tic)
         a_state_result["second_order_trotter"] = opts.second_order_trotter
@@ -327,6 +375,7 @@ def run_simulation(opts: UserOptions) -> str:
     user_exit = UserExit(True)
 
     all_results = []
+    prev_solution = None
     for idx, targ in enumerate(targets):
         if user_exit.terminate():
             break
@@ -341,8 +390,16 @@ def run_simulation(opts: UserOptions) -> str:
             num_expansions=0,
             target=targ,
             output_dir=output_dir,
+            prev_solution=prev_solution,
         )
         all_results.append(res)
+        if getattr(opts, "warm_start_horizons", False):
+            prev_solution = {
+                "thetas": np.asarray(res["thetas"]),
+                "num_layers": int(res["num_layers"]),
+                "evol_time": float(res["evol_time1"]),
+                "num_qubits": int(res["num_qubits"]),
+            }
 
     with open(os.path.join(output_dir, "all_results.pkl"), "wb") as fld:
         pickle.dump(all_results, fld)

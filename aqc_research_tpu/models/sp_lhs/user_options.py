@@ -99,6 +99,17 @@ class UserOptions:
         # Note: time_limit is not enforced inside the jitted loop.
         self.use_jit_lbfgs = False
 
+        # Warm-start each horizon from the previous one's optimized angles:
+        # the first L_prev layers copy the previous solution, the appended
+        # layers take the perfect Trotter init for the REMAINING time.
+        # MEASURED (6q A/B, benchmarks history): the composed tail is
+        # effectively 1st-order (the 2nd-order half-layer structure cannot
+        # be replicated mid-circuit), so the warm init's objective is
+        # WORSE than the cold perfect init (3.1e-3 vs 1.4e-3) — the
+        # reference's perfect initialization is already excellent.  Kept as
+        # an option (exact-consistency tested); default off.
+        self.warm_start_horizons = False
+
     @property
     def use_mps(self) -> bool:
         """MPS vs full vectors, derived from the objective name."""

@@ -116,3 +116,62 @@ class TestRunSimulation:
             assert res["fid_a1_vs_gt"] > 0.9
             assert res["fid_a1_vs_t1"] > 0.9
             assert res["stats"]["use_jit_lbfgs"]
+
+
+class TestWarmStartHorizons:
+    """Horizon warm start (_warm_start_thetas): exact-consistency invariant
+    and shape guards.  When the previous 'solution' is itself the perfect
+    Trotter init at the same dt, the warm start must EQUAL the cold perfect
+    init (copying perfect layers + perfect tail at the same dt is the same
+    circuit) — measured A/B showed optimized-prev warm starts lose 2nd-order
+    accuracy in the tail, so the option defaults off."""
+
+    def test_warm_equals_cold_for_perfect_prev(self):
+        import aqc_research_tpu.targets.trotter as trotop
+        from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+        from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+        from aqc_research_tpu.models.sp_lhs.time_evol import _warm_start_thetas
+        from aqc_research_tpu.models.sp_lhs.user_options import UserOptions
+
+        n = 5
+        opts = UserOptions()
+        opts.num_qubits = n
+        t1, L1, t2, L2 = 1.2, 2, 2.4, 4
+        c1 = TrotterAnsatz.make(n, make_trotter_like_circuit(n, L1), True)
+        th1 = trotop.init_ansatz_to_trotter(
+            c1, np.zeros(c1.num_thetas), evol_time=t1, delta=opts.delta
+        )
+        prev = {
+            "thetas": th1, "num_layers": L1, "evol_time": t1, "num_qubits": n,
+        }
+        c2 = TrotterAnsatz.make(n, make_trotter_like_circuit(n, L2), True)
+        warm = _warm_start_thetas(c2, opts, t2, prev)
+        cold = trotop.init_ansatz_to_trotter(
+            c2, np.zeros(c2.num_thetas), evol_time=t2, delta=opts.delta
+        )
+        np.testing.assert_allclose(warm, cold, atol=1e-14)
+
+    def test_warm_start_guards(self):
+        import aqc_research_tpu.targets.trotter as trotop
+        from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+        from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+        from aqc_research_tpu.models.sp_lhs.time_evol import _warm_start_thetas
+        from aqc_research_tpu.models.sp_lhs.user_options import UserOptions
+
+        n = 4
+        opts = UserOptions()
+        opts.num_qubits = n
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 2), True)
+        base = {
+            "thetas": np.zeros(3 * n + circ.tpb * circ.bpl * 2),
+            "num_layers": 2, "evol_time": 1.2, "num_qubits": n,
+        }
+        # same layer count -> no warm start
+        assert _warm_start_thetas(circ, opts, 2.4, base) is None
+        # wrong qubit count
+        c4 = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 4), True)
+        bad = dict(base, num_qubits=n + 1)
+        assert _warm_start_thetas(c4, opts, 2.4, bad) is None
+        # non-increasing time
+        bad = dict(base, evol_time=2.4)
+        assert _warm_start_thetas(c4, opts, 2.4, bad) is None
