@@ -368,7 +368,12 @@ def _optimize_horizon_mps(
     use_cache = v_dagger_layer_cache_eligible(circ)
 
     def value(th):
-        vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+        if use_cache:
+            # Same traced structure as the gradient path; the unused cache
+            # (scan ys) is dead-code-eliminated by XLA.
+            vh, _ = v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
+        else:
+            vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
         amps = mps_flip_amplitudes(vh, base_bits)
         return (1.0 - jnp.abs(amps[0]) ** 2).real.astype(x0.dtype)
 
