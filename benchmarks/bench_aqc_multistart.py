@@ -142,6 +142,44 @@ def bench_full_aqc(n: int = 5, depth: int = 160):
         flush=True,
     )
 
+    # Production fan-out mode: the AQC driver runs num_simulations restarts;
+    # vmapping the fused eval over a batch of Θ costs ~1x a single eval
+    # (measured), multiplying the aggregate rate.  Fetch-first then time
+    # (axon measurement discipline, CLAUDE.md).
+    B = 8
+    np.random.seed(1)
+    th_batch = jnp.asarray(
+        np.stack([rand_thetas(circ.num_thetas) for _ in range(B)])
+    )
+
+    @jax.jit
+    def obj_grad_batch(ths, tgt):
+        return jax.vmap(obj_grad_body, in_axes=(0, None))(ths, tgt)
+
+    fb, gb = obj_grad_batch(th_batch, u_dev)
+    assert np.all(np.isfinite(np.asarray(fb)))  # fetch — proves execution
+    repeats = 30
+    tic = time.perf_counter()
+    for _ in range(repeats):
+        fb, gb = obj_grad_batch(th_batch, u_dev)
+    gb.block_until_ready()
+    dt_b = (time.perf_counter() - tic) / repeats
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"full-AQC batched objective+gradient aggregate rate, "
+                    f"{n}q spin depth {depth}, {B} restarts"
+                ),
+                "value": round(B / dt_b, 2),
+                "unit": "evals/s (aggregate)",
+                "batch": B,
+                "per_batch_ms": round(dt_b * 1e3, 3),
+            }
+        ),
+        flush=True,
+    )
+
 
 def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
     """Config 4: fleet-of-B on-device L-BFGS vs one instance."""
