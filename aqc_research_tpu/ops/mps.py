@@ -612,6 +612,7 @@ def v_dagger_layer_cache_eligible(circ) -> bool:
     bpl = circ.bpl if circ.is_trotterized else 0
     return (
         circ.is_trotterized
+        and circ.circuit_power == 1
         and nb > 0
         and bpl > 0
         and nb % bpl == 0
@@ -830,16 +831,20 @@ def _v_mul_mps_impl(circ, thetas, mps: MPS, dagger: bool, trunc_thr):
             mps_ = apply_run(mps_, run, lambda k: gates[k])
         return mps_
 
-    if dagger:
-        if half:
-            mps = apply_half(mps)
-        mps = apply_main(mps)
-        for q in range(circ.num_qubits):
-            mps = apply_1q_mps(mps, f1q[q], q)
-    else:
-        for q in range(circ.num_qubits):
-            mps = apply_1q_mps(mps, f1q[q], q)
-        mps = apply_main(mps)
-        if half:
-            mps = apply_half(mps)
+    # Circuit power V^p: the reference's MPS path goes through
+    # ansatz_to_qcircuit, which repeats the circuit power times
+    # (circuit_transform.py:200-201).
+    for _ in range(circ.circuit_power):
+        if dagger:
+            if half:
+                mps = apply_half(mps)
+            mps = apply_main(mps)
+            for q in range(circ.num_qubits):
+                mps = apply_1q_mps(mps, f1q[q], q)
+        else:
+            for q in range(circ.num_qubits):
+                mps = apply_1q_mps(mps, f1q[q], q)
+            mps = apply_main(mps)
+            if half:
+                mps = apply_half(mps)
     return mps

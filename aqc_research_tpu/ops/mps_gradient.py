@@ -43,7 +43,6 @@ from .mps import (
     MPS,
     apply_1q_mps,
     apply_2q_any_mps,
-    apply_2q_mps,
     no_truncation_threshold,
 )
 

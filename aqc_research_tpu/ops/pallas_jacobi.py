@@ -218,7 +218,10 @@ def jacobi_svd_pallas(
     m: jax.Array, sweeps: int = DEFAULT_SWEEPS, sort: bool = True
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Batched SVD with the Pallas Jacobi kernel; same contract as
-    :func:`aqc_research_tpu.ops.jacobi_svd.jacobi_svd` (f32/c64 only).
+    :func:`aqc_research_tpu.ops.jacobi_svd.jacobi_svd` (f32/c64 only),
+    except that singular values below the relative noise floor (32*eps *
+    s_max — below f32 resolution anyway) come back as EXACT zeros with
+    zeroed factor columns (see the guard in ``_jacobi_u_s``).
 
     ``m``: (..., n, n) complex64 (or float32), n even; n a multiple of the
     128 VPU lane width is the efficient case.  Leading axes are flattened

@@ -23,12 +23,12 @@ SURVEY.md §2.4 "TP" row; gate kernels mirror ops/statevector.py
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..circuit.ansatz import Ansatz
 from ..ops.statevector import (

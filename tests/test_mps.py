@@ -175,3 +175,30 @@ class TestFlipAmplitudes:
         assert abs(amps[0] - dense[base]) < 1e-10
         for q in range(n):
             assert abs(amps[1 + q] - dense[base ^ (1 << q)]) < 1e-10
+
+
+class TestCircuitPowerMps:
+    def test_power_parity_vs_dense(self):
+        """V^p on the MPS fast path matches the dense engine (the reference's
+        MPS path honors power via ansatz_to_qcircuit,
+        circuit_transform.py:200-201)."""
+        from aqc_research_tpu.circuit.ansatz import Ansatz
+        from aqc_research_tpu.circuit.structures import create_ansatz_structure
+        from aqc_research_tpu.ops import mps as mpsop
+        from aqc_research_tpu.ops.statevector import v_dagger_mul_vec, v_mul_vec
+        from aqc_research_tpu.utils import rand_thetas
+
+        n = 4
+        blocks = create_ansatz_structure(n, "spin", "full", 6)
+        circ = Ansatz.make(n, "cx", blocks, power=3)
+        thetas = rand_thetas(circ.num_thetas)
+        m0 = mpsop.rand_mps_vec(n, num_layers=1, chi_max=16)
+        v0 = np.asarray(mpsop.mps_to_vector(m0))
+        ref = np.asarray(v_mul_vec(circ, thetas, v0))
+        got = np.asarray(mpsop.mps_to_vector(mpsop.v_mul_mps(circ, thetas, m0)))
+        assert np.max(np.abs(got - ref)) < 1e-9
+        refd = np.asarray(v_dagger_mul_vec(circ, thetas, v0))
+        gotd = np.asarray(
+            mpsop.mps_to_vector(mpsop.v_dagger_mul_mps(circ, thetas, m0))
+        )
+        assert np.max(np.abs(gotd - refd)) < 1e-9
