@@ -39,9 +39,21 @@ from .jacobi_svd import DEFAULT_SWEEPS
 
 _EPS32 = float(jnp.finfo(jnp.float32).eps)
 
-# Matrices per grid step: bounded by VMEM (in 2 + out 2 + carry 4 arrays of
-# (CHUNK, n, n)/2 f32 each; CHUNK=8 at n=128 uses ~3 MB of the 16 MB budget).
-_BATCH_CHUNK = 8
+# VMEM budget for the kernel's resident arrays (in 2 + out 2 + carry 4 of
+# (chunk, n, n)/2 f32 each ~= 24 n^2 bytes per matrix); chunk is chosen per
+# call to fill the batch with MINIMAL padding — a fixed chunk of 8 padded
+# the common batch-10 half-layer phases to 16 (60% wasted VPU work).
+_VMEM_BUDGET = 12 * 1024 * 1024
+_MAX_CHUNK = 16
+
+
+def _pick_chunk(b: int, n: int) -> int:
+    """Largest VMEM-feasible chunk (<= _MAX_CHUNK) that splits ``b`` into
+    equal-size grid steps with the least padding."""
+    per_matrix = 24 * n * n  # f32 bytes resident per matrix
+    cmax = max(1, min(_MAX_CHUNK, _VMEM_BUDGET // per_matrix))
+    n_chunks = -(-b // cmax)
+    return -(-b // n_chunks)
 
 
 # Convergence tolerance for the adaptive sweep loop: a full sweep whose
@@ -142,12 +154,11 @@ def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref)
     w_im_ref[:, p:, :] = wr_im
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _jacobi_pallas_raw(m_re, m_im, sweeps: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int):
     """Runs the kernel on transposed re/im planes (B, n, n); B must be a
-    multiple of _BATCH_CHUNK.  Returns (w_re, w_im) with W = (m V)^T rows."""
+    multiple of ``chunk``.  Returns (w_re, w_im) with W = (m V)^T rows."""
     b, n, _ = m_re.shape
-    chunk = min(_BATCH_CHUNK, b)
     assert b % chunk == 0
     out = jax.ShapeDtypeStruct((b, n, n), jnp.float32)
     kernel = partial(_jacobi_kernel_body, sweeps)
@@ -174,7 +185,7 @@ def _jacobi_u_s(m: jax.Array, sweeps: int, k: int):
     batch_shape = m.shape[:-2]
     mb = m.reshape((-1, n, n))
     b = mb.shape[0]
-    chunk = min(_BATCH_CHUNK, max(b, 1))
+    chunk = _pick_chunk(max(b, 1), n)
     b_pad = -(-b // chunk) * chunk
     mb_pad = mb
     if b_pad != b:
@@ -186,7 +197,7 @@ def _jacobi_u_s(m: jax.Array, sweeps: int, k: int):
     m_re = jnp.real(mt).astype(jnp.float32)
     m_im = jnp.imag(mt).astype(jnp.float32)
 
-    w_re, w_im = _jacobi_pallas_raw(m_re, m_im, sweeps)
+    w_re, w_im = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
     w_re, w_im = w_re[:b], w_im[:b]
 
     s = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=-1))  # (B, n)
