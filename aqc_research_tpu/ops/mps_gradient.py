@@ -591,6 +591,140 @@ def _half_layer_cosweep(
     return w, z, dots_rows
 
 
+def _half_layer_cosweep_znext(
+    circ,
+    group,
+    layer_thetas,  # (bpl, tpb)
+    layer_masks,  # (bpl,)
+    w: MPS,
+    z_next: MPS,  # the CACHED post-group boundary (v_dagger_mul_mps_layers)
+    trunc_thr: float,
+    dtype,
+):
+    """Group co-sweep WITHOUT any z-side state update, against the cached
+    POST-group boundary: with G = prod_p F_p the group's pair prefixes and
+    z_mid = G† z_next (exact arithmetic), every dot satisfies
+
+        <Y_p w | z_mid> = <(F_p Y_p) w | z_next>
+
+    where the OTHER pairs' F_q fold into the w-side two-site transfer
+    tensors of <w|z_next>.  Every environment cut lands BETWEEN pairs, so
+    the folds never straddle a cut (no operator-Schmidt splitting) and the
+    whole construction needs ZERO truncated decompositions on the z side.
+    Returns (w', z_next, dots) — w takes the usual batched pair update."""
+    y_mat, z_mat, x_mat = G.y(dtype), G.z(dtype), G.x(dtype)
+    los = tuple(lo for _, lo in group)
+    tidx = [t for t, _ in group]
+    P = len(los)
+    dots_rows = jnp.zeros((circ.bpl, 4), dtype)
+
+    # ---- pass 1: pure 4x4 algebra — triplet prefixes + per-column
+    # pre† P pre sandwiches (collected; final F left-multiplies later).
+    prefix = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (P, 4, 4))
+    sandwiches = []  # (blk_array, col, msk, y4 (P,4,4))
+    for b in range(3):
+        ctrl_is_hi = b != 1
+        ent = _cx_lo_hi(ctrl_is_hi, dtype)
+        if b == 0:
+            ent = jnp.matmul(ent, _rz_frame_lo_hi(-np.pi / 2, True, dtype))
+        prefix = jnp.einsum("ij,pjk->pik", ent, prefix)
+
+        blk = jnp.asarray([3 * t + b for t in tidx])
+        th = layer_thetas[blk]
+        msk = layer_masks[blk].astype(dtype)
+
+        specs = [
+            (G.ry, y_mat, ctrl_is_hi, 0),
+            (G.rz, z_mat, ctrl_is_hi, 1),
+            (G.ry, y_mat, not ctrl_is_hi, 2),
+            (G.rx, x_mat, not ctrl_is_hi, 3),
+        ]
+        for gate_fn, pauli, on_hi, col in specs:
+            g4 = _embed_1q_batch(gate_fn(th[:, col], dtype), on_hi)
+            prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
+            p4 = _embed_pauli(pauli, on_hi)
+            y4 = jnp.einsum("pji,jk,pkl->pil", jnp.conj(prefix), p4, prefix)
+            sandwiches.append((blk, col, msk, y4))
+
+        if b == 2:
+            frame = G.rz(np.pi / 2, dtype)
+            g4 = _embed_1q_batch(
+                jnp.broadcast_to(frame, (P, 2, 2)), not ctrl_is_hi
+            )
+            prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
+
+    # ---- pass 2: environment tensors of <w | z_next> with the OTHER
+    # pairs' F folded into the w side, cuts only between pairs.
+    aw, az = _folded_all(w), _folded_all(z_next)
+    n = w.num_sites
+    cw, cz = w.chi, z_next.chi
+    e0 = jnp.zeros((cw, cz), dtype).at[0, 0].set(1.0)
+    pair_of_lo = {lo: i for i, lo in enumerate(los)}
+
+    def fold_pair_w(lo, f4):
+        """Two-site w tensor with the pair prefix folded:
+        tw[s,t,a,c] = sum_{uv,b} f4[(st),(uv)] aw_lo[u,a,b] aw_hi[v,b,c]."""
+        two = jnp.einsum("uab,vbc->uvac", aw[lo], aw[lo + 1])
+        f = f4.reshape(2, 2, 2, 2)
+        return jnp.einsum("stuv,uvac->stac", f, two)
+
+    def pair_z(lo):
+        return jnp.einsum("uAB,vBC->uvAC", az[lo], az[lo + 1])
+
+    units = []
+    q = 0
+    while q < n:
+        if q in pair_of_lo:
+            units.append(("pair", q))
+            q += 2
+        else:
+            units.append(("site", q))
+            q += 1
+
+    l_envs = {}
+    env = e0
+    for kind, q in units:
+        if kind == "pair":
+            l_envs[q] = env
+            tw = fold_pair_w(q, prefix[pair_of_lo[q]])
+            tz = pair_z(q)
+            env = jnp.einsum("aA,stac,stAC->cC", env, jnp.conj(tw), tz)
+        else:
+            env = _env_left_step(env, aw[q], az[q])
+
+    r_envs = {}
+    env = e0
+    for kind, q in reversed(units):
+        if kind == "pair":
+            r_envs[q] = env
+            tw = fold_pair_w(q, prefix[pair_of_lo[q]])
+            tz = pair_z(q)
+            env = jnp.einsum("stac,stAC,cC->aA", jnp.conj(tw), tz, env)
+        else:
+            env = _env_right_step(aw[q], az[q], env)
+
+    def n4_at(lo):
+        tw = jnp.einsum("uab,vbc->uvac", aw[lo], aw[lo + 1])  # open w legs
+        tz = pair_z(lo)
+        x = jnp.einsum("aA,stac->stAc", l_envs[lo], jnp.conj(tw))
+        x = jnp.einsum("stAc,cC->stAC", x, r_envs[lo])
+        return jnp.einsum("stAC,uvAC->uvst", x, tz).reshape(4, 4)
+
+    n4 = jnp.stack([n4_at(lo) for lo in los])  # (P, 4, 4)
+
+    # ---- dots: 0.5j * sum(conj(F_p @ y4_p) * n4'_p)
+    half = 0.5j
+    for blk, col, msk, y4 in sandwiches:
+        y4f = jnp.einsum("pij,pjk->pik", prefix, y4)
+        vals = half * jnp.einsum("pij,pij->p", jnp.conj(y4f), n4) * msk
+        dots_rows = dots_rows.at[blk, col].add(vals)
+
+    from .mps import apply_pairs_mps
+
+    w = apply_pairs_mps(w, prefix, los, trunc_thr=trunc_thr)
+    return w, z_next, dots_rows
+
+
 def _front_cosweep_batched(circ, thetas1q, w: MPS, z: MPS, front_layer, dtype):
     """Front Rz·Ry·Rz layer: batched 1q applies + batched dots."""
     from .mps import apply_1q_many
@@ -709,14 +843,29 @@ def _fast_dot_gradient_layered_zcache(
         w_, z_ = carry
         th_l, m_l, znx = xs
         dots = jnp.zeros((bpl, 4), dtype)
-        for gi, group in enumerate(groups):
-            last = gi == len(groups) - 1
+        if len(groups) == 2:
+            # Chessboard layer: NO z-side updates at all.  Group 1 dots use
+            # the layer-entry boundary (z_); group 2 dots contract against
+            # the NEXT cached boundary with the group prefixes folded into
+            # the w-side transfers (_half_layer_cosweep_znext).
             w_, z_, rows = _half_layer_cosweep(
-                circ, group, th_l, m_l, w_, z_, trunc_thr, dtype, skip_z=last
+                circ, groups[0], th_l, m_l, w_, z_, trunc_thr, dtype, skip_z=True
             )
             dots = dots + rows
-            if last:
-                z_ = znx
+            w_, _, rows = _half_layer_cosweep_znext(
+                circ, groups[1], th_l, m_l, w_, znx, trunc_thr, dtype
+            )
+            dots = dots + rows
+            z_ = znx
+        else:
+            for gi, group in enumerate(groups):
+                last = gi == len(groups) - 1
+                w_, z_, rows = _half_layer_cosweep(
+                    circ, group, th_l, m_l, w_, z_, trunc_thr, dtype, skip_z=last
+                )
+                dots = dots + rows
+                if last:
+                    z_ = znx
         return (w_, z_), dots
 
     (w, z), scanned = jax.lax.scan(
