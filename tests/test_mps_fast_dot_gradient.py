@@ -417,3 +417,28 @@ class TestZLayerCachedGradient:
                 block_range=block_range, front_layer=front, z_layers=cache,
             ))
             assert np.max(np.abs(g_c - g_ref)) < 1e-12
+
+    def test_cached_under_truncation_stays_close(self):
+        """Under a working truncation threshold the z-free cached gradient
+        and the plain layered gradient follow different (equally valid)
+        approximation paths; they must stay close — a regression that
+        degrades the boundary-substitution accuracy shows up here."""
+        n, layers = 4, 3
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, layers), True)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 8  # < 2^n: truncation active
+        thr = 1e-6
+        phi = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        vh_plain = mpsop.v_dagger_mul_mps(circ, thetas, phi, trunc_thr=thr)
+        vh_c, cache = mpsop.v_dagger_mul_mps_layers(circ, thetas, phi, trunc_thr=thr)
+        _, lvec = _flip_state_pair(n, -1, chi)
+        g_plain = np.asarray(
+            fast_dot_gradient(circ, thetas, lvec, vh_plain, trunc_thr=thr)
+        )
+        g_cached = np.asarray(
+            fast_dot_gradient(
+                circ, thetas, lvec, vh_c, trunc_thr=thr, z_layers=cache
+            )
+        )
+        norm = max(np.linalg.norm(g_plain), 1e-12)
+        assert np.linalg.norm(g_cached - g_plain) / norm < 1e-5
