@@ -9,9 +9,11 @@ Usage:  python benchmarks/bench_mps.py [num_qubits] [chi] [layers] [batch]
 Prints one JSON line with sweeps/sec.
 
 ``batch`` > 1 vmaps the whole objective+gradient sweep over a fleet of theta
-vectors (the multistart pattern of parallel/multistart.py): the TPU SVD/eigh
-decompositions are latency-bound, so batching multiplies throughput at nearly
-constant wall time per step.  The reported rate is aggregate sweeps/sec.
+vectors (the multistart pattern of parallel/multistart.py).  Measured: the
+decomposition cost is THROUGHPUT-bound (per-matrix), so a fleet's aggregate
+rate stays below the single-sweep rate on one chip — the honest fleet lever
+is sharding pairs across chips (parallel/mps_sharded.py).  The reported
+rate is aggregate sweeps/sec.
 """
 
 from __future__ import annotations
