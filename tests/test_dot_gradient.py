@@ -190,3 +190,37 @@ class TestPartialGradient:
         assert old.size == 0 or np.allclose(old, 0, atol=tol, rtol=tol)
         old = circ.subset2q(g_part)[block_range[1] :, :]
         assert old.size == 0 or np.allclose(old, 0, atol=tol, rtol=tol)
+
+
+class TestParameterShiftGradient:
+    """The reference's third independent method: EXACT parameter-shift
+    gradients (test_core_op_matrix.py:114-140) — rotation parameters via
+    +/- pi shifts (scale 1/4), the CPhase angle via +/- pi/2 (scale 1/2) —
+    must match the analytic co-sweep to ~sqrt(eps)."""
+
+    @pytest.mark.parametrize("entangler", ["cx", "cz", "cp"])
+    def test_shift_rule_vs_cosweep(self, entangler):
+        n = 3
+        circ = _make_circ(n, entangler, trotter=False)
+        thetas = rand_thetas(circ.num_thetas)
+        x = rand_state(n)
+        y = rand_state(n)
+        g_sweep = np.asarray(
+            grad_of_dot_product(circ, thetas, x, _vh_y(circ, thetas, y))
+        )
+
+        cphase = np.zeros(thetas.size, dtype=bool)
+        if circ.entangler == "cp":
+            np.asarray(circ.subset2q(cphase))[:, 4] = True
+        th_tau = thetas.copy()
+        g_shift = np.zeros(thetas.size, dtype=complex)
+        for i in range(thetas.size):
+            tau, scale = (np.pi / 2, 0.5) if cphase[i] else (np.pi, 0.25)
+            th_tau[i] = thetas[i] - tau
+            v_m = oracle_matrix(circ, th_tau)
+            th_tau[i] = thetas[i] + tau
+            v_p = oracle_matrix(circ, th_tau)
+            g_shift[i] = scale * np.vdot((v_p - v_m) @ x, y)
+            th_tau[i] = thetas[i]
+
+        assert np.max(np.abs(g_sweep - g_shift)) < SQRT_EPS, entangler
