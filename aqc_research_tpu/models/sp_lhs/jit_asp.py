@@ -356,12 +356,14 @@ def _optimize_horizon_mps(
 ) -> JitHorizonResult:
     from ...ops.mps import (
         mps_basis_state,
+        mps_dot,
         mps_flip_amplitudes,
         v_dagger_layer_cache_eligible,
         v_dagger_mul_mps,
         v_dagger_mul_mps_layers,
+        v_mul_mps,
     )
-    from ...ops.mps_gradient import fast_dot_gradient
+    from ...ops.mps_gradient import fast_dot_gradient, fast_dot_gradient_with_state
 
     chi = tgt.chi
     lvec = mps_basis_state(base_bits, chi, tgt.gammas.dtype)
@@ -369,29 +371,40 @@ def _optimize_horizon_mps(
 
     def value(th):
         if use_cache:
-            # Same traced structure as the gradient path; the unused cache
-            # (scan ys) is dead-code-eliminated by XLA.
-            vh, _ = v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
-        else:
-            vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+            # FORWARD objective: |<V lvec | t>|^2 == |<lvec | V† t>|^2, but
+            # the forward sweep grows from a PRODUCT state — the adaptive
+            # Jacobi decompositions converge in ~1 sweep on the low-rank
+            # early layers, making linesearch trials much cheaper than a
+            # full-rank V† sweep.  Consistent with the gradient path's
+            # objective (which reads the co-sweep's final w).
+            w = v_mul_mps(circ, th, lvec, trunc_thr=trunc_thr)
+            hs = mps_dot(w, tgt)
+            return (1.0 - jnp.abs(hs) ** 2).real.astype(x0.dtype)
+        vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
         amps = mps_flip_amplitudes(vh, base_bits)
         return (1.0 - jnp.abs(amps[0]) ** 2).real.astype(x0.dtype)
 
     def value_and_grad(th):
-        # The V† sweep's per-layer cache halves the gradient's z-side
-        # truncated decompositions (v_dagger_mul_mps_layers).
+        # Analytic MPS co-sweep — autodiff through truncated SVDs is
+        # ill-conditioned; the co-sweep is exact (parity-tested vs dense).
         if use_cache:
+            # The V† sweep's per-layer cache makes the co-sweep z-free; its
+            # final w (= V lvec) provides the forward-consistent objective.
             vh, zcache = v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
-        else:
-            vh, zcache = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr), None
+            grad, w_fin = fast_dot_gradient_with_state(
+                circ, th, lvec, vh, zcache, trunc_thr=trunc_thr
+            )
+            # <V lvec | t> = lvec† V† t — the SAME complex number as the
+            # dagger-path amplitude <lvec|V† t>, read forward-consistently.
+            hs0 = mps_dot(w_fin, tgt)
+            fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(x0.dtype)
+            grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(x0.dtype)
+            return fobj, grad
+        vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
         amps = mps_flip_amplitudes(vh, base_bits)
         hs0 = amps[0]
         fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(x0.dtype)
-        # Analytic MPS co-sweep — autodiff through truncated SVDs is
-        # ill-conditioned; the co-sweep is exact (parity-tested vs dense).
-        grad = fast_dot_gradient(
-            circ, th, lvec, vh, trunc_thr=trunc_thr, z_layers=zcache
-        )
+        grad = fast_dot_gradient(circ, th, lvec, vh, trunc_thr=trunc_thr)
         grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(x0.dtype)
         return fobj, grad
 

@@ -889,7 +889,9 @@ def _fast_dot_gradient_layered_zcache(
         )
         grad2q = grad2q.at[:bpl].add(rows)
 
-    return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
+    # The co-sweep's final w IS V @ lvec — returned so callers can read the
+    # objective overlap <V lvec | phi> forward-consistently for free.
+    return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)]), w
 
 
 def _layered_eligible(circ: Ansatz) -> bool:
@@ -1111,9 +1113,9 @@ def fast_dot_gradient(
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
     if z_layers is not None and _layered_eligible(circ):
-        # The V†-sweep's per-layer cache (v_dagger_mul_mps_layers) halves
-        # the gradient's z-side decompositions.
-        return _fast_dot_gradient_layered_zcache(
+        # The V†-sweep's per-layer cache (v_dagger_mul_mps_layers) removes
+        # the gradient's z-side decompositions entirely.
+        grad, _ = _fast_dot_gradient_layered_zcache(
             circ,
             jnp.asarray(thetas),
             lvec,
@@ -1123,6 +1125,7 @@ def fast_dot_gradient(
             block_range,
             bool(front_layer),
         )
+        return grad
     if _layered_eligible(circ):
         impl = _fast_dot_gradient_layered
     elif _plain_layered_eligible(circ):
@@ -1137,4 +1140,33 @@ def fast_dot_gradient(
         float(trunc_thr),
         block_range,
         bool(front_layer),
+    )
+
+
+def fast_dot_gradient_with_state(
+    circ: Ansatz,
+    thetas,
+    lvec: MPS,
+    vh_phi: MPS,
+    z_layers: MPS,
+    *,
+    trunc_thr: float = no_truncation_threshold(),
+) -> Tuple[jax.Array, MPS]:
+    """Full gradient PLUS the co-sweep's final w state (= ``V @ lvec``).
+
+    The w state falls out of the z-free layered co-sweep for free; reading
+    the objective overlap ``<V lvec | phi>`` from it keeps the jitted
+    optimizer's objective forward-consistent with a cheap forward-only
+    ``value`` path (models/sp_lhs/jit_asp.py).  Requires the layered
+    Trotter path (``v_dagger_layer_cache_eligible``)."""
+    assert _layered_eligible(circ)
+    return _fast_dot_gradient_layered_zcache(
+        circ,
+        jnp.asarray(thetas),
+        lvec,
+        vh_phi,
+        z_layers,
+        float(trunc_thr),
+        (0, circ.num_blocks),
+        True,
     )
