@@ -154,6 +154,12 @@ def postprocess_and_save_results(
         pickle.dump(payload, fld, protocol=4)
     with open(os.path.join(output_dir, "qcircuit.pkl"), "wb") as fld:
         pickle.dump({"program": program, "global_phase": global_phase}, fld, protocol=4)
+    # Interoperable-circuit deliverable (the reference persists a Qiskit
+    # QuantumCircuit, sk_utils.py:197-215): OpenQASM 3 text alongside the
+    # private GateProgram pickle.
+    from ...circuit.qasm import save_qasm3
+
+    save_qasm3(program, num_qubits, os.path.join(output_dir, "qcircuit.qasm"))
     logi(logger, f"simulation results have been stored in the folder: {output_dir}")
     return payload
 
