@@ -186,6 +186,47 @@ def jacobi_svd(
     return u, s, vh
 
 
+@partial(jax.jit, static_argnums=(1,))
+def jacobi_sweeps_used(m: jax.Array, sweeps: int = DEFAULT_SWEEPS) -> jax.Array:
+    """Number of adaptive sweeps the Jacobi loop executes on ``m`` — the
+    measurement behind the roofline's FLOP accounting (the Pallas kernel runs
+    the identical schedule/tolerance, so this pure-XLA count transfers).
+
+    ``m``: (..., n, n); returns an i32 scalar per batch element... no —
+    the adaptive loop is shared across the batch (one while_loop), so ONE
+    scalar is returned: the sweep count the whole batch pays."""
+    n = m.shape[-1]
+    assert m.shape[-2] == n and n % 2 == 0
+    p = n // 2
+    dtype = m.dtype
+    rdtype = jnp.finfo(dtype).dtype
+    eps = float(jnp.finfo(rdtype).eps)
+    conv_tol = 1e-6 if rdtype == jnp.dtype(jnp.float32) else 1e-13
+
+    al, ar = m[..., :, :p], m[..., :, p:]
+
+    def one_phase(carry, _):
+        al, ar, resid = carry
+        al, ar, _, _, r = _phase_update(al, ar, al, ar, eps)
+        al, ar = _rotate_seats(al, ar)
+        return (al, ar, jnp.maximum(resid, r)), None
+
+    def sweep_cond(state):
+        k, resid, *_ = state
+        return jnp.logical_and(k < sweeps, resid >= conv_tol)
+
+    def sweep_body(state):
+        k, _, al, ar = state
+        (al, ar, resid), _ = jax.lax.scan(
+            one_phase, (al, ar, jnp.zeros((), rdtype)), None, length=n - 1
+        )
+        return (k + 1, resid, al, ar)
+
+    state = (jnp.int32(0), jnp.asarray(jnp.inf, rdtype), al, ar)
+    k, _, _, _ = jax.lax.while_loop(sweep_cond, sweep_body, state)
+    return k
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def jacobi_svd_top_k(
     m: jax.Array, k: int, sweeps: int = DEFAULT_SWEEPS

@@ -46,6 +46,30 @@ def no_truncation_threshold() -> float:
     return _NO_TRUNCATION_THR
 
 
+# -----------------------------------------------------------------------------
+# Pair-sharding policy: when set, every batched half-layer pair update in the
+# engine (V† objective sweep, layered gradient, forward value sweeps, Trotter
+# target evolution) routes through the explicit shard_map engine
+# (parallel/mps_sharded.py) — the BASELINE config-5 multi-chip path.
+# -----------------------------------------------------------------------------
+
+_PAIR_SHARDING = None  # None or (Mesh, axis_name)
+
+
+def set_pair_sharding(mesh, axis: str = "tp") -> None:
+    """Enables (mesh != None) or disables sharded batched pair updates.
+
+    Clears jit caches: traces taken under a different sharding policy would
+    otherwise be silently reused (the policy is read at trace time)."""
+    global _PAIR_SHARDING
+    _PAIR_SHARDING = None if mesh is None else (mesh, str(axis))
+    jax.clear_caches()
+
+
+def pair_sharding():
+    return _PAIR_SHARDING
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class MPS:
@@ -268,15 +292,9 @@ def _truncated_svd(m: jax.Array, chi: int, trunc_thr: float):
     return u, s, vh, mask, total
 
 
-def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdtype):
-    """Core Vidal pair update on raw tensors; returns (g1', g2', lam').
-
-    Natively batched: every argument may carry identical leading batch axes
-    (``lam_*``: (..., chi), ``g1/g2``: (..., 2, chi, chi), ``gate4``:
-    (..., 4, 4)) — one call decomposes the whole batch, which is what lets
-    the batched Jacobi kernel amortize a half-layer of pair updates into a
-    single Pallas program instead of P serial decompositions.
-    """
+def _pair_theta(lam_l, lam_c, lam_r, g1, g2, gate4, chi, dtype):
+    """The gated two-site tensor as a (..., 2chi, 2chi) matrix — the exact
+    input of the pair update's truncated SVD (exposed for probes/roofline)."""
     t1 = g1 * lam_l[..., None, :, None].astype(dtype)
     t1 = t1 * lam_c[..., None, None, :].astype(dtype)
     theta = jnp.einsum("...sab,...tbc->...stac", t1, g2)
@@ -287,7 +305,36 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
     theta = jnp.einsum("...stuv,...uvac->...stac", g, theta)
 
     batch_shape = theta.shape[:-4]
-    m = jnp.swapaxes(theta, -3, -2).reshape(batch_shape + (2 * chi, 2 * chi))
+    return jnp.swapaxes(theta, -3, -2).reshape(batch_shape + (2 * chi, 2 * chi))
+
+
+def pair_thetas(mps: "MPS", gates4, lo_sites) -> jax.Array:
+    """Batched pair-update input matrices for disjoint pairs ``lo_sites`` —
+    the (P, 2chi, 2chi) matrices :func:`apply_pairs_mps` decomposes (probe/
+    roofline utility; same gather logic)."""
+    n, chi = mps.num_sites, mps.chi
+    rdtype = mps.lambdas.dtype
+    lo = np.asarray(lo_sites, dtype=int)
+    boundary = jnp.zeros((1, chi), rdtype).at[0, 0].set(1.0)
+    lam_ext = jnp.concatenate([boundary, mps.lambdas, boundary], axis=0)
+    return _pair_theta(
+        lam_ext[lo], lam_ext[lo + 1], lam_ext[lo + 2],
+        mps.gammas[lo], mps.gammas[lo + 1], jnp.asarray(gates4),
+        chi, mps.gammas.dtype,
+    )
+
+
+def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdtype):
+    """Core Vidal pair update on raw tensors; returns (g1', g2', lam').
+
+    Natively batched: every argument may carry identical leading batch axes
+    (``lam_*``: (..., chi), ``g1/g2``: (..., 2, chi, chi), ``gate4``:
+    (..., 4, 4)) — one call decomposes the whole batch, which is what lets
+    the batched Jacobi kernel amortize a half-layer of pair updates into a
+    single Pallas program instead of P serial decompositions.
+    """
+    m = _pair_theta(lam_l, lam_c, lam_r, g1, g2, gate4, chi, dtype)
+    batch_shape = m.shape[:-2]
 
     u, s, vh, mask, total = _truncated_svd(m, chi, trunc_thr)
 
@@ -329,6 +376,15 @@ def apply_pairs_mps(
     lo = np.asarray(lo_sites, dtype=int)
     assert lo.size > 0 and np.all(np.diff(lo) >= 2), "pairs must be disjoint"
     assert lo.min() >= 0 and lo.max() + 1 < n
+
+    if _PAIR_SHARDING is not None and lo.size > 1:
+        from ..parallel.mps_sharded import apply_pairs_mps_sharded
+
+        mesh, axis = _PAIR_SHARDING
+        return apply_pairs_mps_sharded(
+            mps, jnp.asarray(gates4), lo_sites, mesh, axis=axis,
+            trunc_thr=trunc_thr,
+        )
 
     boundary = jnp.zeros((1, chi), rdtype).at[0, 0].set(1.0)
     lam_ext = jnp.concatenate([boundary, mps.lambdas, boundary], axis=0)

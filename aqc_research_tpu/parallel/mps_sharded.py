@@ -2,32 +2,44 @@
 
 BASELINE config 5 (28q chi=128 multi-chip) scaling design.  Measured facts
 behind it (RESULTS.md / CLAUDE.md): the MPS sweep cost on TPU is dominated
-by the per-pair eigh/SVD decompositions, and batched decompositions do NOT
-amortize on one chip (XLA loops over the batch).  Within a chessboard
-half-layer all pair updates are independent (disjoint (Γ, λ) tensors), so
-sharding the PAIR axis of the batched update over a mesh axis divides the
-dominant cost by the number of devices:
+by the per-pair SVD decompositions, and batched decompositions do NOT
+amortize on one chip.  Within a chessboard half-layer all pair updates are
+independent (disjoint (Γ, λ) tensors), so sharding the PAIR axis of the
+batched update over a mesh axis divides the dominant cost by the number of
+devices.
 
-    pairs  ->  sharded over axis "tp"  ->  per-device vmap of the Vidal
-    pair update  ->  updated (Γ_lo, Γ_hi, λ) slices re-gathered by XLA's
-    SPMD partitioner when scattered back into the replicated MPS arrays.
+Round-3 rewrite (VERDICT r2 item 2): the update is an **explicit
+``shard_map``** — each device slices its own run of pairs from the
+replicated (Γ, λ) arrays (a LOCAL slice, no communication), runs the
+O(chi^3) Vidal pair update device-locally, and only the O(P·chi^2) updated
+slices are exchanged when they are scattered back into the replicated state.
+The compiled collective profile is PINNED in
+tests/test_parallel.py::TestShardedMps::test_collective_profile — zero
+all-gathers of the full Γ array; per half-layer only the updated-slice
+exchange (one all-gather each for new Γ_lo / Γ_hi / λ', total
+3·P·(2chi+1)chi elements ~ O(P·chi^2)), which is O(chi) smaller than the
+O(P·chi^3) decomposition work it parallelizes.
 
-Communication per half-layer is O(P·chi^2) tensor slices over ICI — tiny
-compared with the O(P·chi^3) decomposition work it parallelizes.
+Engine integration: :func:`aqc_research_tpu.ops.mps.set_pair_sharding`
+routes EVERY batched half-layer phase of the MPS engine (the V† objective
+sweep, the z-free layered gradient, forward value sweeps, Trotter target
+evolution) through this path — exercised end-to-end by
+``__graft_entry__.dryrun_multichip``.
 
-The reference has no distributed capability at all (SURVEY.md §2.4); this
-module is validated on a virtual 8-device CPU mesh (tests/test_parallel.py)
-and by ``__graft_entry__.dryrun_multichip``.
+The reference has no distributed capability at all (SURVEY.md §2.4; its MPS
+engine is a single-process Aer C++ simulator, mps_operations.py:251-257).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.mps import MPS, _pair_update, no_truncation_threshold
 
@@ -41,12 +53,12 @@ def apply_pairs_mps_sharded(
     axis: str = "tp",
     trunc_thr: float = no_truncation_threshold(),
 ) -> MPS:
-    """Like ops.mps.apply_pairs_mps, but the pair batch is sharded over
-    ``mesh`` axis ``axis`` (pad-to-multiple with identity gates).
+    """Like ops.mps.apply_pairs_mps, but the pair batch is explicitly sharded
+    over ``mesh`` axis ``axis`` with shard_map (pad-to-multiple by repeating
+    the last pair with its real gate — duplicates compute identical results,
+    so the duplicate scatter-back is well-defined).
 
-    Call inside jit with the mesh entered (or rely on jax.sharding's lazy
-    constraint): the per-pair decomposition runs device-local; XLA inserts
-    the gathers when the updated slices are scattered back.
+    Call inside jit (or eagerly); the mesh is closed over statically.
     """
     n, chi = mps.num_sites, mps.chi
     rdtype = mps.lambdas.dtype
@@ -57,10 +69,6 @@ def apply_pairs_mps_sharded(
     assert lo.size > 0 and np.all(np.diff(lo) >= 2), "pairs must be disjoint"
     assert lo.min() >= 0 and lo.max() + 1 < n
 
-    # Pad the pair list to a multiple of the axis size by REPEATING the last
-    # pair WITH ITS REAL GATE: duplicate entries then compute identical
-    # results, so the duplicate scatter below is harmless regardless of
-    # write order (scatter order with duplicate indices is unspecified).
     pad = (-lo.size) % ndev
     if pad:
         lo_pad = np.concatenate([lo, np.repeat(lo[-1], pad)])
@@ -73,27 +81,32 @@ def apply_pairs_mps_sharded(
     boundary = jnp.zeros((1, chi), rdtype).at[0, 0].set(1.0)
     lam_ext = jnp.concatenate([boundary, mps.lambdas, boundary], axis=0)
 
+    # Static gathers against replicated arrays — each device materializes
+    # only its own shard_map block (a local slice, no communication).
     lam_l = lam_ext[lo_pad]
     lam_c = lam_ext[lo_pad + 1]
     lam_r = lam_ext[lo_pad + 2]
     g1 = mps.gammas[lo_pad]
     g2 = mps.gammas[lo_pad + 1]
 
-    shard = NamedSharding(mesh, P(axis))
+    spec = P(axis)
+    rep = P()
 
-    def batched(ll, lc, lr, a, b, g):
-        # _pair_update is natively batched over the leading pair axis.
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec),
+        out_specs=(spec, spec, spec),
+        check_rep=False,
+    )
+    def local_update(ll, lc, lr, a, b, g):
+        # Device-local: this block's run of pairs only (no collectives).
         return _pair_update(ll, lc, lr, a, b, g, chi, trunc_thr, dtype, rdtype)
 
-    # Constrain the pair axis onto the mesh: each device decomposes its own
-    # slice of pairs; everything inside the vmap is device-local.
-    args = [
-        jax.lax.with_sharding_constraint(x, shard)
-        for x in (lam_l, lam_c, lam_r, g1, g2, gates4)
-    ]
-    new_g1, new_g2, new_lam = batched(*args)
+    new_g1, new_g2, new_lam = local_update(lam_l, lam_c, lam_r, g1, g2, gates4)
 
-    # Scatter back into the replicated MPS arrays (XLA re-gathers the shards).
+    # Scatter back into the replicated state: XLA exchanges exactly the
+    # updated O(P·chi^2) slices (pinned in the collective-profile test).
     gammas = mps.gammas.at[lo_pad].set(new_g1).at[lo_pad + 1].set(new_g2)
     lambdas = mps.lambdas.at[lo_pad].set(new_lam)
     return MPS(gammas, lambdas)
