@@ -182,7 +182,7 @@ class JitHorizonResult(NamedTuple):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _optimize_horizon(
     circ: Ansatz,
     x0,
@@ -193,10 +193,14 @@ def _optimize_horizon(
     maxiter: int,
     no_improve_iters,
     solver: str,
+    batch_ls=None,
 ) -> JitHorizonResult:
     loss = make_surrogate_loss(circ, state_idx_t, weight)
     idx0 = int(state_idx_t[0])
-    minimize = minimize_lbfgs_compact if solver == "compact" else minimize_lbfgs
+    if solver == "compact":
+        minimize = _partial(minimize_lbfgs_compact, batch_linesearch=batch_ls)
+    else:
+        minimize = minimize_lbfgs
     res: JitMinimizeResult = minimize(
         lambda th: loss(th, tgt),
         x0,
@@ -209,7 +213,7 @@ def _optimize_horizon(
     return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
 
 
-@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8))
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _optimize_horizon_batch(
     circ: Ansatz,
     x0_batch,
@@ -220,11 +224,12 @@ def _optimize_horizon_batch(
     maxiter: int,
     no_improve_iters,
     solver: str,
+    batch_ls=None,
 ) -> JitHorizonResult:
     return jax.vmap(
         lambda x0: _optimize_horizon(
             circ, x0, tgt, state_idx_t, weight, fobj_thr, maxiter,
-            no_improve_iters, solver,
+            no_improve_iters, solver, batch_ls,
         )
     )(x0_batch)
 
@@ -240,11 +245,17 @@ def optimize_horizon_multistart(
     maxiter: int = 100,
     no_improve_iters: Optional[int] = None,
     solver: str = "compact",
+    batch_linesearch: Optional[int] = 16,
 ) -> JitHorizonResult:
     """Multi-start ASP horizon optimization: one batched XLA program runs B
     L-BFGS instances in lock-step (BASELINE.md config 4 — the vmap
     replacement of the reference's joblib fan-out).  Returns batched results;
-    pick ``argmin(res.fobj)`` for the winner."""
+    pick ``argmin(res.fobj)`` for the winner.
+
+    ``batch_linesearch`` (default 16): lanes evaluate their whole Armijo step
+    grid in ONE batched eval per iteration instead of lock-step sequential
+    backtracking — the fix for the measured fleet-amortization gap
+    (optim/lbfgs.py).  ``None`` restores sequential backtracking."""
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
     return _optimize_horizon_batch(
         circ,
@@ -256,6 +267,7 @@ def optimize_horizon_multistart(
         int(maxiter),
         None if no_improve_iters is None else int(no_improve_iters),
         solver,
+        None if batch_linesearch is None else int(batch_linesearch),
     )
 
 

@@ -110,6 +110,7 @@ def minimize_lbfgs_compact(
     max_backtracks: int = 20,
     c1: float = 1e-4,
     value_and_grad_fn: Optional[Callable] = None,
+    batch_linesearch: Optional[int] = None,
 ) -> JitMinimizeResult:
     """Compact jitted L-BFGS: two-loop recursion + Armijo backtracking.
 
@@ -123,6 +124,10 @@ def minimize_lbfgs_compact(
     ``value_and_grad_fn`` overrides autodiff with an explicit
     (value, gradient) function — e.g. the analytic MPS co-sweep, where
     differentiating through truncated SVDs is ill-conditioned.
+
+    ``batch_linesearch``: evaluate a geometric grid of K Armijo trial steps
+    in ONE batched call instead of sequential backtracking — the fleet mode
+    (see :func:`minimize_lbfgs_compact_stateful`).
     """
     vgrad = (
         jax.value_and_grad(fun) if value_and_grad_fn is None else value_and_grad_fn
@@ -138,6 +143,7 @@ def minimize_lbfgs_compact(
         memory_size=memory_size,
         max_backtracks=max_backtracks,
         c1=c1,
+        batch_linesearch=batch_linesearch,
     )
     return res
 
@@ -155,6 +161,7 @@ def minimize_lbfgs_compact_stateful(
     max_backtracks: int = 20,
     c1: float = 1e-4,
     stop_fn: Optional[Callable] = None,
+    batch_linesearch: Optional[int] = None,
 ):
     """Compact jitted L-BFGS threading an objective-state pytree through
     every evaluation — the functional form of the reference's STATEFUL
@@ -171,6 +178,17 @@ def minimize_lbfgs_compact_stateful(
         obj_state0: initial objective-state pytree (arrays only).
         stop_fn: optional ``obj_state -> bool`` extra stop condition,
             checked after each accepted step (e.g. fidelity threshold).
+        batch_linesearch: when set to K, the Armijo linesearch evaluates the
+            WHOLE geometric step grid (1, 1/2, ..., 2^-(K-1)) in ONE batched
+            ``value_fn`` call and takes the largest passing step.  This is
+            the FLEET mode: under ``vmap`` the sequential backtrack runs in
+            lock-step — every lane pays the max trial count across lanes,
+            each trial a separate batched dispatch phase (the measured cause
+            of the round-1/2 multi-start amortization gap, RESULTS.md) —
+            whereas one batched K-grid eval costs a single phase.  State
+            semantics: the objective state ticks ONCE per linesearch (with
+            the accepted trial's state) instead of once per trial; exact for
+            stateless objectives (``obj_state = ()``).
 
     Returns:
         (JitMinimizeResult, final objective state).
@@ -237,6 +255,22 @@ def minimize_lbfgs_compact_stateful(
         )
         return step, f_new, ok, ost
 
+    def backtrack_batched(x, f, grad, direction, ost):
+        """Fleet-mode Armijo: ONE batched eval of the whole step grid."""
+        k = int(batch_linesearch)
+        slope = jnp.dot(grad, direction)
+        steps = (2.0 ** -jnp.arange(k)).astype(dtype)
+        f_news, osts = jax.vmap(
+            lambda s: value_fn(x + s * direction, ost)
+        )(steps)
+        ok_vec = f_news <= f + c1 * steps * slope
+        any_ok = jnp.any(ok_vec)
+        idx = jnp.argmax(ok_vec)  # first (largest) passing step; 0 if none
+        step = steps[idx]
+        f_new = f_news[idx]
+        ost = jax.tree_util.tree_map(lambda a: a[idx], osts)
+        return step, f_new, any_ok, ost
+
     def cond(carry):
         it, stop = carry[0], carry[1]
         return jnp.logical_and(it < maxiter, jnp.logical_not(stop))
@@ -249,7 +283,8 @@ def minimize_lbfgs_compact_stateful(
         descent = jnp.dot(grad, direction) < 0
         direction = jnp.where(descent, direction, -grad)
 
-        step, f_new, ok, ost = backtrack(x, f, grad, direction, ost)
+        linesearch = backtrack if batch_linesearch is None else backtrack_batched
+        step, f_new, ok, ost = linesearch(x, f, grad, direction, ost)
         x_new = x + step * direction
         _, g_new, ost = vgrad(x_new, ost)
 

@@ -51,7 +51,7 @@ def kernel_sweep_cost(batch=10, n=128, repeats=20):
     m_re = jnp.asarray(rng.standard_normal((batch, n, n)), jnp.float32)
     m_im = jnp.asarray(rng.standard_normal((batch, n, n)), jnp.float32)
     chunk = batch
-    print(f"-- kernel cost, random batch ({batch}, {n}, {n}):")
+    print(f"-- kernel cost, random batch ({batch}, {n}, {n}):", flush=True)
     times = {}
     for sweeps in (1, 2, 4, 8, 12):
         out = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
@@ -62,7 +62,7 @@ def kernel_sweep_cost(batch=10, n=128, repeats=20):
         out[0].block_until_ready()
         dt = (time.perf_counter() - tic) / repeats
         times[sweeps] = dt
-        print(f"   max_sweeps={sweeps:2d}: {dt * 1e3:8.3f} ms  (check {val:.4f})")
+        print(f"   max_sweeps={sweeps:2d}: {dt * 1e3:8.3f} ms  (check {val:.4f})", flush=True)
     slope = (times[8] - times[2]) / 6
     print(f"   marginal per-sweep cost ~ {slope * 1e3:.3f} ms, "
           f"fixed ~ {(times[2] - 2 * slope) * 1e3:.3f} ms")

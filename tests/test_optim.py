@@ -1,5 +1,6 @@
 """Tests of the jitted L-BFGS/Adam loops and stopper semantics."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -132,3 +133,36 @@ class TestCompactLbfgs:
             lambda x: jnp.sum(0.0 * x) + 1.0, x0, maxiter=500, no_improve_iters=3
         )
         assert int(res.num_iters) < 20
+
+    def test_batched_linesearch_converges(self):
+        """Fleet-mode batched Armijo grid: same optimum as sequential
+        backtracking, and picks the LARGEST passing step (parity of the
+        accepted step on a quadratic where step=1 always passes)."""
+        from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact
+
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        res = minimize_lbfgs_compact(
+            _rosenbrock, x0, maxiter=400, batch_linesearch=16
+        )
+        assert float(res.fobj) < 1e-8
+        assert np.allclose(np.asarray(res.thetas), 1.0, atol=1e-3)
+
+        quad = lambda x: jnp.sum((x - 2.0) ** 2)  # noqa: E731
+        r_seq = minimize_lbfgs_compact(quad, x0, maxiter=30)
+        r_bat = minimize_lbfgs_compact(quad, x0, maxiter=30, batch_linesearch=8)
+        assert float(r_bat.fobj) < 1e-12
+        assert int(r_bat.num_iters) == int(r_seq.num_iters)
+
+    def test_batched_linesearch_vmapped_fleet(self):
+        """The batched grid works under vmap (the multi-start fleet shape)."""
+        from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact
+
+        x0s = jnp.stack(
+            [jnp.zeros(6), 0.3 * jnp.ones(6), -0.2 * jnp.ones(6)]
+        ).astype(jnp.float64)
+        res = jax.vmap(
+            lambda x0: minimize_lbfgs_compact(
+                _rosenbrock, x0, maxiter=400, batch_linesearch=16
+            )
+        )(x0s)
+        assert float(jnp.max(res.fobj)) < 1e-8
