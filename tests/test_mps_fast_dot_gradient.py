@@ -65,7 +65,7 @@ class TestMpsFastDotGradient:
         g_dense = np.asarray(
             grad_of_dot_product(circ, thetas, x_dense, vh_phi_dense)
         )
-        assert np.max(np.abs(g_mps - g_dense)) < 1e-9
+        assert np.max(np.abs(g_mps - g_dense)) < 1e-10
 
     def test_partial_gradient_vs_dense(self):
         n = 3
@@ -92,7 +92,7 @@ class TestMpsFastDotGradient:
                     block_range=block_range, front_layer=front,
                 )
             )
-            assert np.max(np.abs(g_mps - g_dense)) < 1e-9
+            assert np.max(np.abs(g_mps - g_dense)) < 1e-10
             # outside-range entries exactly zero
             assert np.all(circ.subset2q(g_mps)[: block_range[0]] == 0)
 
@@ -160,7 +160,7 @@ class TestMpsGradientEntanglers:
             g_dense = np.asarray(
                 grad_of_dot_product(circ, thetas, x_dense, vh_phi_dense)
             )
-            assert np.max(np.abs(g_mps - g_dense)) < 1e-9, (flip_bit, entangler)
+            assert np.max(np.abs(g_mps - g_dense)) < 1e-10, (flip_bit, entangler)
 
 
 class TestMpsNumericGradient:
@@ -326,7 +326,7 @@ class TestMpsLayeredPlainPath:
         )
         g_dense = np.asarray(grad_of_dot_product(circ, thetas, x_dense, vh_dense))
         assert np.max(np.abs(g_layered - g_seq)) < 1e-10, entangler
-        assert np.max(np.abs(g_layered - g_dense)) < 1e-9, entangler
+        assert np.max(np.abs(g_layered - g_dense)) < 1e-10, entangler
 
     def test_partial_and_front_toggle(self):
         from aqc_research_tpu.ops.mps_gradient import _plain_layered_eligible
@@ -360,7 +360,7 @@ class TestMpsLayeredPlainPath:
                     block_range=block_range, front_layer=front,
                 )
             )
-            assert np.max(np.abs(g_mps - g_dense)) < 1e-9
+            assert np.max(np.abs(g_mps - g_dense)) < 1e-10
             assert np.all(circ.subset2q(g_mps)[: block_range[0]] == 0)
             assert np.all(circ.subset2q(g_mps)[block_range[1] :] == 0)
 
