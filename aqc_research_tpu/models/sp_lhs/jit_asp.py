@@ -373,7 +373,7 @@ def _optimize_horizon_mps(
         v_dagger_layer_cache_eligible,
         v_dagger_mul_mps,
         v_dagger_mul_mps_layers,
-        v_mul_mps,
+        v_mul_mps_growing,
     )
     from ...ops.mps_gradient import fast_dot_gradient, fast_dot_gradient_with_state
 
@@ -384,12 +384,16 @@ def _optimize_horizon_mps(
     def value(th):
         if use_cache:
             # FORWARD objective: |<V lvec | t>|^2 == |<lvec | V† t>|^2, but
-            # the forward sweep grows from a PRODUCT state — the adaptive
-            # Jacobi decompositions converge in ~1 sweep on the low-rank
-            # early layers, making linesearch trials much cheaper than a
-            # full-rank V† sweep.  Consistent with the gradient path's
-            # objective (which reads the co-sweep's final w).
-            w = v_mul_mps(circ, th, lvec, trunc_thr=trunc_thr)
+            # the forward sweep grows from a PRODUCT state — with χ-growth
+            # scheduling the head phases run at tiny static bond dimensions
+            # (exact; ops/mps.py v_mul_mps_growing), making linesearch
+            # trials much cheaper than a full-rank V† sweep.  Consistent
+            # with the gradient path's objective (which reads the co-sweep's
+            # final w).
+            w = v_mul_mps_growing(
+                circ, th, base_bits, chi, trunc_thr=trunc_thr,
+                dtype=tgt.gammas.dtype,
+            )
             hs = mps_dot(w, tgt)
             return (1.0 - jnp.abs(hs) ** 2).real.astype(x0.dtype)
         vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
@@ -403,8 +407,10 @@ def _optimize_horizon_mps(
             # The V† sweep's per-layer cache makes the co-sweep z-free; its
             # final w (= V lvec) provides the forward-consistent objective.
             vh, zcache = v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
+            # grow_w: lvec is a rank-1 product state, so the co-sweep's head
+            # layers run at growing static bond dimensions (exact).
             grad, w_fin = fast_dot_gradient_with_state(
-                circ, th, lvec, vh, zcache, trunc_thr=trunc_thr
+                circ, th, lvec, vh, zcache, trunc_thr=trunc_thr, grow_w=True
             )
             # <V lvec | t> = lvec† V† t — the SAME complex number as the
             # dagger-path amplitude <lvec|V† t>, read forward-consistently.

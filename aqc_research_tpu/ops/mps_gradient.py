@@ -802,7 +802,7 @@ def _fast_dot_gradient_layered(
     return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
 
 
-@partial(jax.jit, static_argnums=(0, 5, 6, 7))
+@partial(jax.jit, static_argnums=(0, 5, 6, 7, 8))
 def _fast_dot_gradient_layered_zcache(
     circ: Ansatz,
     thetas: jax.Array,
@@ -812,13 +812,20 @@ def _fast_dot_gradient_layered_zcache(
     trunc_thr: float,
     block_range: Tuple[int, int],
     front_layer: bool,
+    grow_w: bool = False,
 ) -> jax.Array:
     """Layered co-sweep consuming the V†-sweep's per-layer z cache: the LAST
     pair group of every layer skips its z-side truncated update (the cached
     next-boundary state substitutes), removing half of the gradient's z
     decompositions.  Exact at no-truncation (the cached state IS the layer
     boundary); under truncation both are equally valid chi-approximations of
-    the same exact state."""
+    the same exact state.
+
+    ``grow_w`` (χ-growth scheduling, VERDICT r2 item 1b): when ``lvec`` is
+    a rank-1 product state, the head layers run with the w side at a growing
+    static bond dimension (2^phases, exact — see v_mul_mps_growing); head
+    decompositions and environments shrink from (2·chi)³ to (2·χ_p)³.
+    Chessboard (2-group) layers only."""
     dtype = lvec.gammas.dtype
     nb, bpl, tpb = circ.num_blocks, circ.bpl, circ.tpb
     layers = nb // bpl
@@ -830,6 +837,12 @@ def _fast_dot_gradient_layered_zcache(
     mask_np[block_range[0] : block_range[1]] = 1.0
     masks = jnp.asarray(mask_np)
 
+    chi_z = vh_phi.chi
+    if grow_w and len(groups) == 2:
+        from .mps import mps_resize
+
+        lvec = mps_resize(lvec, 1)  # exact for rank-1 product lvec
+
     w, z, grad1q = _front_cosweep_batched(
         circ, thetas1q, lvec, vh_phi, front_layer, dtype
     )
@@ -839,25 +852,57 @@ def _fast_dot_gradient_layered_zcache(
     # cache[1:][j] = z state entering layer j+1 (cache[L] = trailing-half z).
     z_next = MPS(z_layers.gammas[1:], z_layers.lambdas[1:])
 
+    def chessboard_layer(w_, z_, th_l, m_l, znx):
+        """One chessboard layer: NO z-side updates at all.  Group 1 dots use
+        the layer-entry boundary (z_); group 2 dots contract against the
+        NEXT cached boundary with the group prefixes folded into the w-side
+        transfers (_half_layer_cosweep_znext)."""
+        dots = jnp.zeros((bpl, 4), dtype)
+        w_, z_, rows = _half_layer_cosweep(
+            circ, groups[0], th_l, m_l, w_, z_, trunc_thr, dtype, skip_z=True
+        )
+        dots = dots + rows
+        w_, _, rows = _half_layer_cosweep_znext(
+            circ, groups[1], th_l, m_l, w_, znx, trunc_thr, dtype
+        )
+        return w_, znx, dots + rows
+
+    head_rows = []
+    head = 0
+    if grow_w and len(groups) == 2:
+        from .mps import mps_resize
+
+        chi_w = 1
+        for j in range(layers):
+            if chi_w >= chi_z:
+                break
+            znx_j = MPS(z_next.gammas[j], z_next.lambdas[j])
+            th_l, m_l = th_layers[j], m_layers[j]
+            dots = jnp.zeros((bpl, 4), dtype)
+            chi_w = min(chi_z, 2 * chi_w)
+            w = mps_resize(w, chi_w)
+            w, z, rows = _half_layer_cosweep(
+                circ, groups[0], th_l, m_l, w, z, trunc_thr, dtype, skip_z=True
+            )
+            dots = dots + rows
+            chi_w = min(chi_z, 2 * chi_w)
+            w = mps_resize(w, chi_w)
+            w, _, rows = _half_layer_cosweep_znext(
+                circ, groups[1], th_l, m_l, w, znx_j, trunc_thr, dtype
+            )
+            z = znx_j
+            head_rows.append(dots + rows)
+            head = j + 1
+        if w.chi < chi_z:
+            w = mps_resize(w, chi_z)
+
     def layer_body(carry, xs):
         w_, z_ = carry
         th_l, m_l, znx = xs
-        dots = jnp.zeros((bpl, 4), dtype)
         if len(groups) == 2:
-            # Chessboard layer: NO z-side updates at all.  Group 1 dots use
-            # the layer-entry boundary (z_); group 2 dots contract against
-            # the NEXT cached boundary with the group prefixes folded into
-            # the w-side transfers (_half_layer_cosweep_znext).
-            w_, z_, rows = _half_layer_cosweep(
-                circ, groups[0], th_l, m_l, w_, z_, trunc_thr, dtype, skip_z=True
-            )
-            dots = dots + rows
-            w_, _, rows = _half_layer_cosweep_znext(
-                circ, groups[1], th_l, m_l, w_, znx, trunc_thr, dtype
-            )
-            dots = dots + rows
-            z_ = znx
+            w_, z_, dots = chessboard_layer(w_, z_, th_l, m_l, znx)
         else:
+            dots = jnp.zeros((bpl, 4), dtype)
             for gi, group in enumerate(groups):
                 last = gi == len(groups) - 1
                 w_, z_, rows = _half_layer_cosweep(
@@ -868,9 +913,17 @@ def _fast_dot_gradient_layered_zcache(
                     z_ = znx
         return (w_, z_), dots
 
-    (w, z), scanned = jax.lax.scan(
-        layer_body, (w, z), (th_layers, m_layers, z_next)
-    )
+    if head < layers:
+        tail = (
+            th_layers[head:],
+            m_layers[head:],
+            MPS(z_next.gammas[head:], z_next.lambdas[head:]),
+        )
+        (w, z), scanned = jax.lax.scan(layer_body, (w, z), tail)
+    else:
+        scanned = jnp.zeros((0, bpl, 4), dtype)
+    if head_rows:
+        scanned = jnp.concatenate([jnp.stack(head_rows), scanned], axis=0)
     grad2q = scanned.reshape(nb, tpb)
 
     half = circ.half_layer_num_blocks
@@ -1096,6 +1149,7 @@ def fast_dot_gradient(
     block_range: Optional[Tuple[int, int]] = None,
     front_layer: bool = True,
     z_layers: Optional[MPS] = None,
+    grow_w: bool = False,
 ) -> jax.Array:
     """Complex gradient of ``<lvec | V† | phi>`` with MPS states.
 
@@ -1124,6 +1178,7 @@ def fast_dot_gradient(
             float(trunc_thr),
             block_range,
             bool(front_layer),
+            bool(grow_w),
         )
         return grad
     if _layered_eligible(circ):
@@ -1151,6 +1206,7 @@ def fast_dot_gradient_with_state(
     z_layers: MPS,
     *,
     trunc_thr: float = no_truncation_threshold(),
+    grow_w: bool = False,
 ) -> Tuple[jax.Array, MPS]:
     """Full gradient PLUS the co-sweep's final w state (= ``V @ lvec``).
 
@@ -1169,4 +1225,5 @@ def fast_dot_gradient_with_state(
         float(trunc_thr),
         (0, circ.num_blocks),
         True,
+        bool(grow_w),
     )

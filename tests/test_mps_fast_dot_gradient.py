@@ -6,6 +6,7 @@ Ports the reference's shared gradient-test harness applied to the MPS engine
 oracle-verified) dense-engine gradient at no-truncation threshold.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -442,3 +443,73 @@ class TestZLayerCachedGradient:
         )
         norm = max(np.linalg.norm(g_plain), 1e-12)
         assert np.linalg.norm(g_cached - g_plain) / norm < 1e-5
+
+
+class TestChiGrowthScheduling:
+    """χ-growth scheduling (VERDICT r2 item 1b): head phases at growing
+    static bond dimensions are EXACT — rank is bounded by 2^phases."""
+
+    def _setup(self, n, chi, layers, thr, seed=2):
+        import aqc_research_tpu.targets.trotter as trotop
+
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, layers), True)
+        rng = np.random.default_rng(seed)
+        th = jnp.asarray(
+            trotop.init_ansatz_to_trotter(
+                circ, np.zeros(circ.num_thetas), evol_time=1.2, delta=1.0
+            )
+        )
+        th = th + 0.3 * jnp.asarray(rng.standard_normal(circ.num_thetas))
+        bits = tuple(1 if q % 2 == 0 else 0 for q in range(n))
+        ini = trotop.neel_init_state(n)
+        target = trotop.Trotter(
+            num_qubits=n, evol_time=1.2, num_steps=3, delta=1.0,
+            second_order=True,
+        ).as_mps(ini, trunc_thr=thr, chi_max=chi)
+        return circ, th, bits, target
+
+    @pytest.mark.parametrize(
+        "n,chi,layers,thr",
+        [(6, 16, 3, 1e-16), (8, 16, 3, 1e-6), (8, 64, 2, 1e-8)],
+    )
+    def test_growing_value_sweep_matches_full_chi(self, n, chi, layers, thr):
+        circ, th, bits, _ = self._setup(n, chi, layers, thr)
+        lvec = mpsop.mps_basis_state(bits, chi)
+        ref = mpsop.v_mul_mps(circ, th, lvec, trunc_thr=thr)
+        got = mpsop.v_mul_mps_growing(circ, th, bits, chi, trunc_thr=thr)
+        assert (
+            np.abs(
+                np.asarray(mpsop.mps_to_vector(ref))
+                - np.asarray(mpsop.mps_to_vector(got))
+            ).max()
+            < 1e-12
+        )
+        assert (
+            np.abs(np.asarray(ref.lambdas) - np.asarray(got.lambdas)).max()
+            < 1e-12
+        )
+
+    @pytest.mark.parametrize(
+        "n,chi,layers,thr",
+        [(6, 16, 3, 1e-16), (10, 32, 4, 1e-6), (8, 64, 2, 1e-8)],
+    )
+    def test_grow_w_gradient_matches(self, n, chi, layers, thr):
+        from aqc_research_tpu.ops.mps_gradient import fast_dot_gradient_with_state
+
+        circ, th, bits, target = self._setup(n, chi, layers, thr)
+        lvec = mpsop.mps_basis_state(bits, chi)
+        vh, zc = mpsop.v_dagger_mul_mps_layers(circ, th, target, trunc_thr=thr)
+        g_ref, w_ref = fast_dot_gradient_with_state(
+            circ, th, lvec, vh, zc, trunc_thr=thr
+        )
+        g_grow, w_grow = fast_dot_gradient_with_state(
+            circ, th, lvec, vh, zc, trunc_thr=thr, grow_w=True
+        )
+        assert np.abs(np.asarray(g_ref) - np.asarray(g_grow)).max() < 1e-12
+        assert (
+            np.abs(
+                np.asarray(mpsop.mps_to_vector(w_ref))
+                - np.asarray(mpsop.mps_to_vector(w_grow))
+            ).max()
+            < 1e-12
+        )
