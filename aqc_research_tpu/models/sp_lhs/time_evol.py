@@ -387,7 +387,7 @@ def run_simulation(opts: UserOptions) -> str:
         res = _time_evolution(
             opts=opts,
             num_layers=num_layers,
-            num_expansions=0,
+            num_expansions=int(getattr(opts, "num_expansions", 0)),
             target=targ,
             output_dir=output_dir,
             prev_solution=prev_solution,

@@ -92,6 +92,13 @@ class UserOptions:
         # Debugging: store intermediate optimization results.
         self.save_intermediate_results = False
 
+        # Maximal number of ansatz expansions per horizon: when the optimized
+        # fidelity falls short of the threshold, up to this many extra layers
+        # are inserted and the horizon re-optimized (the reference implements
+        # the loop, time_evol_best_init.py:259-298, but hardcodes 0 at the
+        # call site :378; exposed here as a knob).
+        self.num_expansions = 0
+
         # Fully on-device optimization loop (models/sp_lhs/jit_asp.py): the
         # surrogate objective (hysteresis + weight EMA) and the L-BFGS loop
         # run as ONE XLA program per horizon — the TPU production path.

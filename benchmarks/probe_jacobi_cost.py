@@ -149,28 +149,16 @@ def main(num_qubits=20, chi=64, layers=4):
     )
     kernel_sweep_cost(batch=10, n=2 * chi)
 
-    # Mid-optimization thetas: 10 jitted L-BFGS iterations from the perfect init.
-    from aqc_research_tpu.models.sp_lhs.jit_asp import optimize_horizon_mps_jit
-
-    ini = trotop.neel_init_state(num_qubits)
-    target = trotop.Trotter(
-        num_qubits=num_qubits, evol_time=1.2, num_steps=3, delta=1.0,
-        second_order=True,
-    ).as_mps(ini, trunc_thr=trunc_thr, chi_max=chi)
-    base_bits = tuple(1 if q % 2 == 0 else 0 for q in range(num_qubits))
+    # Perturbed-init thetas as the hard-regime proxy (round-2 lesson: the
+    # perfect init's matrices are atypically easy; an L-BFGS warm-up compile
+    # costs 30+ min through the tunnel, so 0.3-rad perturbations stand in).
     rng = np.random.default_rng(5)
-    th_perturbed = thetas0 + 0.05 * jnp.asarray(
+    th_mid = thetas0 + 0.3 * jnp.asarray(
         rng.standard_normal(circ.num_thetas), thetas0.dtype
     )
-    res = optimize_horizon_mps_jit(
-        circ, th_perturbed, target, base_bits=base_bits,
-        trunc_thr=trunc_thr, maxiter=10,
-    )
-    th_mid = res.thetas
-    print(f"   (mid-opt fobj after 10 iters: {float(fetch(res.fobj)):.3e})")
 
     capture_sweep_counts(num_qubits, chi, layers, "perfect init", thetas0, trunc_thr)
-    capture_sweep_counts(num_qubits, chi, layers, "mid-opt (10 iters)", th_mid, trunc_thr)
+    capture_sweep_counts(num_qubits, chi, layers, "perturbed 0.3 rad", th_mid, trunc_thr)
 
 
 if __name__ == "__main__":

@@ -175,3 +175,22 @@ class TestWarmStartHorizons:
         # non-increasing time
         bad = dict(base, evol_time=2.4)
         assert _warm_start_thetas(c4, opts, 2.4, bad) is None
+
+
+class TestExpansionLoop:
+    def test_layer_expansion_engages(self, tmp_path):
+        """num_expansions > 0: an undersized ansatz with an unreachable-at-
+        depth-1 fidelity threshold triggers layer insertion (the reference's
+        expansion loop, time_evol_best_init.py:259-298)."""
+        opts = _mini_opts(tmp_path, "sur_fast_mps_trotter", num_horizons=1)
+        opts.manual_num_layers = [1]
+        opts.num_expansions = 2
+        opts.fidelity_thr = 0.999999
+        opts.maxiter = 3
+        out = run_simulation(opts)
+        import os
+        import pickle
+
+        with open(os.path.join(out, "all_results.pkl"), "rb") as fld:
+            results = pickle.load(fld)
+        assert results[0]["num_layers"] > 1  # the loop actually expanded
