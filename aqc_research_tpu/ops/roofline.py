@@ -385,11 +385,30 @@ def main(num_qubits=20, chi=64, layers=4):
     print(f"measured obj+grad sweep: {measured * 1e3:.2f} ms "
           f"({1 / measured:.2f} sweeps/s), grad_norm {val:.6f}", flush=True)
 
-    print("capturing adaptive sweep counts on real matrices ...", flush=True)
-    stats = _capture_sweep_counts(circ, thetas, target, bits, trunc_thr)
-    for stage, st in stats.items():
-        print(f"  {stage}: mean {st['mean']:.2f}, max {st['max']}, "
-              f"phases {st['phases']}", flush=True)
+    if is_tpu():
+        # io_callback compiles ABORT the axon tunnel backend (and a failed
+        # attempt poisons the process) — use env-provided or CPU-measured
+        # defaults instead (benchmarks/probe_jacobi_cost.py measures the
+        # identical adaptive schedule on captured matrices on CPU).  The
+        # shared kernel while_loop pays the PER-CALL MAX, so the defaults
+        # are the measured means of per-call maxima: vdag ~9 (perfect init;
+        # ~12 at hard mid-optimization points), grad/value ~5 (chi-growth
+        # head converges in 1-3 sweeps, full-chi tail in 7-8).
+        import os
+
+        stats = {
+            "vdag": {"mean": float(os.environ.get("AQC_SWEEPS_VDAG", 9.0))},
+            "grad": {"mean": float(os.environ.get("AQC_SWEEPS_GRAD", 5.0))},
+            "value": {"mean": float(os.environ.get("AQC_SWEEPS_VALUE", 5.0))},
+        }
+        print(f"  (TPU backend: using measured-on-CPU sweep counts {stats})",
+              flush=True)
+    else:
+        print("capturing adaptive sweep counts on real matrices ...", flush=True)
+        stats = _capture_sweep_counts(circ, thetas, target, bits, trunc_thr)
+        for stage, st in stats.items():
+            print(f"  {stage}: mean {st['mean']:.2f}, max {st['max']}, "
+                  f"phases {st['phases']}", flush=True)
 
     print("measuring attainable rates ...", flush=True)
     att = measure_attainable()

@@ -80,9 +80,13 @@ def main(
     def one_sweep(th, tgt, lv):
         if mpsop.v_dagger_layer_cache_eligible(circ):
             vh, zc = mpsop.v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
-        else:
-            vh, zc = mpsop.v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr), None
-        return fast_dot_gradient(circ, th, lv, vh, trunc_thr=trunc_thr, z_layers=zc)
+            # grow_w: the production configuration (χ-growth scheduling on
+            # the co-sweep's w side; jit_asp uses the same flags).
+            return fast_dot_gradient(
+                circ, th, lv, vh, trunc_thr=trunc_thr, z_layers=zc, grow_w=True
+            )
+        vh = mpsop.v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
+        return fast_dot_gradient(circ, th, lv, vh, trunc_thr=trunc_thr)
 
     if batch > 1:
         # Fleet mode: one sweep per theta vector, vmapped (multistart SPMD).
