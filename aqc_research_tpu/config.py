@@ -84,7 +84,7 @@ def is_tpu() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-_SVD_IMPLS = ("native", "gram", "embed", "jacobi")
+_SVD_IMPLS = ("native", "gram", "embed", "jacobi", "blocked")
 _SVD_IMPL: str | None = os.environ.get("AQC_TPU_SVD_IMPL") or None
 
 
@@ -104,6 +104,10 @@ def set_svd_impl(impl: str | None) -> None:
       regardless of precision mode; the only impl whose cost does NOT scale
       linearly with the batch, so half-layer pair updates and vmapped fleets
       amortize.
+    * ``"blocked"`` — blocked one-sided Jacobi (ops/blocked_jacobi.py): the
+      MXU-friendly prototype — panel Grams/updates are batched matmuls, the
+      small subproblems ride the VPU lanes.  Falls back to "jacobi" for
+      matrices below the blocking size (chi-growth heads).
     * ``None``     — auto: "jacobi" on TPU-like backends (measured 1.8x the
       gram impl on the 20q chi=64 MPS sweep with the adaptive sweep loop,
       and convergence-validated in the jitted L-BFGS), "native" elsewhere.
