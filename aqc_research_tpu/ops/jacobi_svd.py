@@ -74,20 +74,35 @@ def _pair_rotation(a, b, c, eps):
     return cs, sn_r, phase
 
 
-def _phase_update(al, ar, vl, vr, eps):
+def _phase_update(al, ar, vl, vr, eps, criterion="relative"):
     """One Brent-Luk phase: orthogonalize all (L[j], R[j]) column pairs.
 
     ``al, ar``: (..., n, p) column blocks of the working matrix;
     ``vl, vr``: the same column blocks of the accumulated V.
     Returns the updated blocks plus the largest pre-rotation off-diagonal
-    ratio ``|c| / sqrt(a b)`` (the adaptive-sweep convergence measure).
+    residual — the adaptive-sweep convergence measure:
+
+    * ``"relative"``: ``|c| / sqrt(a b)`` — every pair must be orthogonal
+      RELATIVE to its own column norms, however tiny those are.
+    * ``"entry"``: ``|c| / (s_max * max(|w_i|, |w_j|))`` — mixing is
+      converged once its contribution to any reconstructed ENTRY is below
+      tol * s_max.  Pairs of about-to-be-truncated junk columns (mutual
+      angles O(1), values < eps * s_max) no longer gate convergence —
+      measured on real mid-optimization pair matrices they are what forces
+      the relative criterion to 10-12 sweeps.
     """
     a = jnp.sum(jnp.abs(al) ** 2, axis=-2)  # (..., p) real
     b = jnp.sum(jnp.abs(ar) ** 2, axis=-2)
     c = jnp.sum(jnp.conj(al) * ar, axis=-2)  # complex
 
-    norm_ab = jnp.sqrt(jnp.maximum(a.real * b.real, 1e-30))
-    resid = jnp.max(jnp.abs(c) / jnp.maximum(norm_ab, 1e-30))
+    if criterion == "entry":
+        smax2 = jnp.max(
+            jnp.maximum(a.real, b.real), axis=-1, keepdims=True
+        )
+        denom2 = smax2 * jnp.maximum(a.real, b.real)
+    else:
+        denom2 = a.real * b.real
+    resid = jnp.max(jnp.abs(c) / jnp.sqrt(jnp.maximum(denom2, 1e-30)))
 
     cs, sn_r, phase = _pair_rotation(a.real, b.real, c, eps)
     cs = cs[..., None, :].astype(al.dtype)
@@ -142,13 +157,18 @@ def jacobi_svd(
     vl, vr = eye[..., :, :p], eye[..., :, p:]
 
     # Adaptive sweeps (mirrors the Pallas kernel): run full sweeps until the
-    # largest pre-rotation off-diagonal ratio of a sweep drops below the
-    # dtype's convergence floor, bounded by ``sweeps``.
-    conv_tol = 1e-6 if rdtype == jnp.dtype(jnp.float32) else 1e-13
+    # largest pre-rotation off-diagonal residual of a sweep drops below the
+    # dtype's convergence floor, bounded by ``sweeps``.  f32 (the production
+    # kernel's dtype) uses the ENTRY-ABSOLUTE criterion the kernel uses;
+    # f64 keeps the RELATIVE criterion — parity work pins tail singular
+    # values to rtol 1e-10, which the entry criterion does not promise.
+    is_f32 = rdtype == jnp.dtype(jnp.float32)
+    conv_tol = 1e-6 if is_f32 else 1e-13
+    criterion = "entry" if is_f32 else "relative"
 
     def one_phase(carry, _):
         al, ar, vl, vr, resid = carry
-        al, ar, vl, vr, r = _phase_update(al, ar, vl, vr, eps)
+        al, ar, vl, vr, r = _phase_update(al, ar, vl, vr, eps, criterion)
         al, ar = _rotate_seats(al, ar)
         vl, vr = _rotate_seats(vl, vr)
         return (al, ar, vl, vr, jnp.maximum(resid, r)), None
@@ -186,8 +206,10 @@ def jacobi_svd(
     return u, s, vh
 
 
-@partial(jax.jit, static_argnums=(1,))
-def jacobi_sweeps_used(m: jax.Array, sweeps: int = DEFAULT_SWEEPS) -> jax.Array:
+@partial(jax.jit, static_argnums=(1, 2))
+def jacobi_sweeps_used(
+    m: jax.Array, sweeps: int = DEFAULT_SWEEPS, criterion: str | None = None
+) -> jax.Array:
     """Number of adaptive sweeps the Jacobi loop executes on ``m`` — the
     measurement behind the roofline's FLOP accounting (the Pallas kernel runs
     the identical schedule/tolerance, so this pure-XLA count transfers).
@@ -201,13 +223,16 @@ def jacobi_sweeps_used(m: jax.Array, sweeps: int = DEFAULT_SWEEPS) -> jax.Array:
     dtype = m.dtype
     rdtype = jnp.finfo(dtype).dtype
     eps = float(jnp.finfo(rdtype).eps)
-    conv_tol = 1e-6 if rdtype == jnp.dtype(jnp.float32) else 1e-13
+    is_f32 = rdtype == jnp.dtype(jnp.float32)
+    conv_tol = 1e-6 if is_f32 else 1e-13
+    if criterion is None:  # match what jacobi_svd / the kernel would run
+        criterion = "entry" if is_f32 else "relative"
 
     al, ar = m[..., :, :p], m[..., :, p:]
 
     def one_phase(carry, _):
         al, ar, resid = carry
-        al, ar, _, _, r = _phase_update(al, ar, al, ar, eps)
+        al, ar, _, _, r = _phase_update(al, ar, al, ar, eps, criterion)
         al, ar = _rotate_seats(al, ar)
         return (al, ar, jnp.maximum(resid, r)), None
 

