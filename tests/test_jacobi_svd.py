@@ -138,6 +138,37 @@ class TestJacobiSvdPallas(unittest.TestCase):
         best_err = np.linalg.norm(m - _best_rank_k(m, 16))
         self.assertLess(err, best_err * 1.6)
 
+    def test_entry_criterion_ignores_junk_tail(self):
+        """The round-3 speedup's contract: a matrix whose spectrum has a
+        junk tail (values far below s_max, mutual angles O(1) after any
+        perturbation) must converge in FEWER adaptive sweeps under the f32
+        entry-absolute criterion than under the relative one, with the
+        retained factors still accurate vs LAPACK."""
+        from aqc_research_tpu.ops.jacobi_svd import jacobi_sweeps_used
+
+        rng = np.random.default_rng(11)
+        n, k = 32, 16
+        spec = np.concatenate(
+            [np.exp(-0.5 * np.arange(16)), np.full(16, 3e-7)]
+        )
+        m = _with_spectrum(rng, n, spec).astype(np.complex64)
+        # decorrelate the tail (the mid-optimization situation)
+        m = m + 1e-6 * _rand_c(rng, n, n).astype(np.complex64)
+        k_entry = int(jacobi_sweeps_used(jnp.asarray(m), 12, "entry"))
+        k_rel = int(jacobi_sweeps_used(jnp.asarray(m), 12, "relative"))
+        self.assertLess(k_entry, k_rel)
+        u, s, vh = jacobi_svd_pallas_top_k(jnp.asarray(m), k)
+        np.testing.assert_allclose(
+            np.asarray(s)[:8],
+            np.linalg.svd(m, compute_uv=False)[:8],
+            rtol=1e-4, atol=1e-6,
+        )
+        rec = np.asarray(u) * np.asarray(s)[..., None, :] @ np.asarray(vh)
+        best = _best_rank_k(m, k)
+        self.assertLess(
+            np.max(np.abs(rec - best)) / np.max(np.abs(best)), 1e-4
+        )
+
     def test_rank_deficient_noise_directions(self):
         """Regression: rank-2 matrix whose nonzero content lives in two rows
         (a padded MPS pair tensor).  Below-rank f32 rotation residue then
