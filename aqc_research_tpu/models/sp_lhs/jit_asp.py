@@ -182,7 +182,7 @@ class JitHorizonResult(NamedTuple):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
 def _optimize_horizon(
     circ: Ansatz,
     x0,
@@ -194,11 +194,16 @@ def _optimize_horizon(
     no_improve_iters,
     solver: str,
     batch_ls=None,
+    fuse_ls_grad: bool = False,
 ) -> JitHorizonResult:
     loss = make_surrogate_loss(circ, state_idx_t, weight)
     idx0 = int(state_idx_t[0])
     if solver == "compact":
-        minimize = _partial(minimize_lbfgs_compact, batch_linesearch=batch_ls)
+        minimize = _partial(
+            minimize_lbfgs_compact,
+            batch_linesearch=batch_ls,
+            fuse_linesearch_grad=fuse_ls_grad,
+        )
     else:
         minimize = minimize_lbfgs
     res: JitMinimizeResult = minimize(
@@ -213,7 +218,7 @@ def _optimize_horizon(
     return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
 
 
-@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7, 8, 9, 10))
 def _optimize_horizon_batch(
     circ: Ansatz,
     x0_batch,
@@ -225,11 +230,12 @@ def _optimize_horizon_batch(
     no_improve_iters,
     solver: str,
     batch_ls=None,
+    fuse_ls_grad: bool = False,
 ) -> JitHorizonResult:
     return jax.vmap(
         lambda x0: _optimize_horizon(
             circ, x0, tgt, state_idx_t, weight, fobj_thr, maxiter,
-            no_improve_iters, solver, batch_ls,
+            no_improve_iters, solver, batch_ls, fuse_ls_grad,
         )
     )(x0_batch)
 
@@ -246,6 +252,7 @@ def optimize_horizon_multistart(
     no_improve_iters: Optional[int] = None,
     solver: str = "compact",
     batch_linesearch: Optional[int] = 2,
+    fuse_linesearch_grad: bool = False,
 ) -> JitHorizonResult:
     """Multi-start ASP horizon optimization: one batched XLA program runs B
     L-BFGS instances in lock-step (BASELINE.md config 4 — the vmap
@@ -273,6 +280,7 @@ def optimize_horizon_multistart(
         None if no_improve_iters is None else int(no_improve_iters),
         solver,
         None if batch_linesearch is None else int(batch_linesearch),
+        bool(fuse_linesearch_grad),
     )
 
 

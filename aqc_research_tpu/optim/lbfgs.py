@@ -111,6 +111,7 @@ def minimize_lbfgs_compact(
     c1: float = 1e-4,
     value_and_grad_fn: Optional[Callable] = None,
     batch_linesearch: Optional[int] = None,
+    fuse_linesearch_grad: bool = False,
 ) -> JitMinimizeResult:
     """Compact jitted L-BFGS: two-loop recursion + Armijo backtracking.
 
@@ -144,6 +145,7 @@ def minimize_lbfgs_compact(
         max_backtracks=max_backtracks,
         c1=c1,
         batch_linesearch=batch_linesearch,
+        fuse_linesearch_grad=fuse_linesearch_grad,
     )
     return res
 
@@ -162,6 +164,7 @@ def minimize_lbfgs_compact_stateful(
     c1: float = 1e-4,
     stop_fn: Optional[Callable] = None,
     batch_linesearch: Optional[int] = None,
+    fuse_linesearch_grad: bool = False,
 ):
     """Compact jitted L-BFGS threading an objective-state pytree through
     every evaluation — the functional form of the reference's STATEFUL
@@ -189,6 +192,13 @@ def minimize_lbfgs_compact_stateful(
             semantics: the objective state ticks ONCE per linesearch (with
             the accepted trial's state) instead of once per trial; exact for
             stateless objectives (``obj_state = ()``).
+        fuse_linesearch_grad: with ``batch_linesearch``, evaluate
+            value_and_grad at every grid step in the ONE batched call and
+            reuse the selected trial's gradient as the next iterate's —
+            one evaluation phase per iteration instead of two, at k x the
+            gradient flops.  State ticks once per iteration via
+            ``value_and_grad_fn`` only (the reference's fused
+            ``objective_and_gradient`` policy, sk_core.py:167).
 
     Returns:
         (JitMinimizeResult, final objective state).
@@ -271,6 +281,27 @@ def minimize_lbfgs_compact_stateful(
         ost = jax.tree_util.tree_map(lambda a: a[idx], osts)
         return step, f_new, any_ok, ost
 
+    def backtrack_batched_fused(x, f, grad, direction, ost):
+        """Fleet-mode Armijo with the GRADIENT fused into the grid eval:
+        one batched value_and_grad call covers the whole step grid, and the
+        selected trial's gradient is reused as the next iterate's gradient
+        — the iteration has ONE evaluation phase instead of two (grid
+        values + separate grad at the accepted point).  Trades k*grad
+        flops for the removed phase; wins when the fleet is
+        serialization-bound, not flops-bound (measure, don't assume)."""
+        k = int(batch_linesearch)
+        slope = jnp.dot(grad, direction)
+        steps = (2.0 ** -jnp.arange(k)).astype(dtype)
+        f_news, g_news, osts = jax.vmap(
+            lambda s: vgrad(x + s * direction, ost)
+        )(steps)
+        ok_vec = f_news <= f + c1 * steps * slope
+        any_ok = jnp.any(ok_vec)
+        idx = jnp.argmax(ok_vec)
+        step = steps[idx]
+        ost = jax.tree_util.tree_map(lambda a: a[idx], osts)
+        return step, f_news[idx], g_news[idx], any_ok, ost
+
     def cond(carry):
         it, stop = carry[0], carry[1]
         return jnp.logical_and(it < maxiter, jnp.logical_not(stop))
@@ -283,10 +314,18 @@ def minimize_lbfgs_compact_stateful(
         descent = jnp.dot(grad, direction) < 0
         direction = jnp.where(descent, direction, -grad)
 
-        linesearch = backtrack if batch_linesearch is None else backtrack_batched
-        step, f_new, ok, ost = linesearch(x, f, grad, direction, ost)
-        x_new = x + step * direction
-        _, g_new, ost = vgrad(x_new, ost)
+        if batch_linesearch is not None and fuse_linesearch_grad:
+            step, f_new, g_new, ok, ost = backtrack_batched_fused(
+                x, f, grad, direction, ost
+            )
+            x_new = x + step * direction
+        else:
+            linesearch = (
+                backtrack if batch_linesearch is None else backtrack_batched
+            )
+            step, f_new, ok, ost = linesearch(x, f, grad, direction, ost)
+            x_new = x + step * direction
+            _, g_new, ost = vgrad(x_new, ost)
 
         s = x_new - x
         y = g_new - grad

@@ -203,9 +203,10 @@ def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
         )
         return float(np.asarray(res.fobj))
 
-    def run_fleet():
+    def run_fleet(fuse=False):
         res = optimize_horizon_multistart(
-            circ, batch0, target, state_idx=idx, maxiter=maxiter
+            circ, batch0, target, state_idx=idx, maxiter=maxiter,
+            fuse_linesearch_grad=fuse,
         )
         return np.asarray(res.fobj)
 
@@ -219,6 +220,12 @@ def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
     fb = run_fleet()
     t_fleet = time.perf_counter() - tic
     assert np.all(np.isfinite(fb)), fb
+
+    fbf = run_fleet(fuse=True)  # compile + fetch
+    tic = time.perf_counter()
+    fbf = run_fleet(fuse=True)
+    t_fleet_fused = time.perf_counter() - tic
+    assert np.all(np.isfinite(fbf)), fbf
 
     # Batched-eval scaling diagnostic: raw objective+gradient at B=1 vs B,
     # isolating compute scaling from the lockstep-linesearch effect.
@@ -259,6 +266,9 @@ def bench_multistart(n: int = 12, batch: int = 8, maxiter: int = 150):
                 "unit": "x speedup vs sequential singles",
                 "t_single_s": round(t_single, 3),
                 "t_fleet_s": round(t_fleet, 3),
+                "t_fleet_fused_s": round(t_fleet_fused, 3),
+                "fused_speedup_x": round(batch * t_single / t_fleet_fused, 2),
+                "best_fobj_fused": round(float(fbf.min()), 8),
                 "eval_ms_b1": round(t_e1 * 1e3, 3),
                 "eval_ms_bB": round(t_eb * 1e3, 3),
                 "eval_batch_overhead_x": round(t_eb / t_e1, 2),

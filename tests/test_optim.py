@@ -153,6 +153,27 @@ class TestCompactLbfgs:
         assert float(r_bat.fobj) < 1e-12
         assert int(r_bat.num_iters) == int(r_seq.num_iters)
 
+    def test_fused_linesearch_grad_matches_plain(self):
+        """fuse_linesearch_grad folds the accepted-point gradient into the
+        batched grid eval — for a stateless objective the iterates must
+        match the unfused batched path exactly."""
+        from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact
+
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        for fun, k in ((_rosenbrock, 16), (lambda x: jnp.sum((x - 2.0) ** 2), 8)):
+            r_plain = minimize_lbfgs_compact(
+                fun, x0, maxiter=400, batch_linesearch=k
+            )
+            r_fused = minimize_lbfgs_compact(
+                fun, x0, maxiter=400, batch_linesearch=k,
+                fuse_linesearch_grad=True,
+            )
+            assert int(r_fused.num_iters) == int(r_plain.num_iters)
+            np.testing.assert_allclose(
+                np.asarray(r_fused.thetas), np.asarray(r_plain.thetas),
+                atol=1e-12,
+            )
+
     def test_batched_linesearch_vmapped_fleet(self):
         """The batched grid works under vmap (the multi-start fleet shape)."""
         from aqc_research_tpu.optim.lbfgs import minimize_lbfgs_compact
