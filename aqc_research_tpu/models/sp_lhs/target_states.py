@@ -79,9 +79,16 @@ class TargetMpsState:
     def __setstate__(self, state):
         import jax.numpy as jnp
 
+        from ...utils import from_host
+
         for key in ("t1_gt", "t1"):
             g, l = state[key]
-            state[key] = mpsop.MPS(jnp.asarray(g), jnp.asarray(l))
+            # from_host, NOT jnp.asarray: an eager complex host->device
+            # transfer produces a lazily-INVALID buffer on this TPU runtime
+            # — it survives block_until_ready and only fails at the first
+            # fetch (found when a cache HIT crashed check_mps on TPU; every
+            # earlier on-chip run happened to be a cache miss).
+            state[key] = mpsop.MPS(from_host(np.asarray(g)), jnp.asarray(l))
         self.__dict__.update(state)
 
     @staticmethod
