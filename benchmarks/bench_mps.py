@@ -38,9 +38,11 @@ def main(
     import jax.numpy as jnp
 
     from aqc_research_tpu.config import is_tpu, set_precision, set_svd_impl
+    from aqc_research_tpu.config import svd_impl as _effective_impl
 
     set_precision("fast" if is_tpu() else "high")
-    set_svd_impl(svd_impl)
+    if svd_impl is not None:  # None must not mask AQC_TPU_SVD_IMPL
+        set_svd_impl(svd_impl)
 
     import aqc_research_tpu.targets.trotter as trotop
     from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
@@ -129,7 +131,7 @@ def main(
                 "compile_s": round(compile_s, 1),
                 "num_thetas": circ.num_thetas,
                 "batch": batch,
-                "svd_impl": svd_impl or "auto",
+                "svd_impl": _effective_impl(),  # what actually ran
                 "grad_norm": round(norm_val, 6),  # fetched — proves execution
             }
         )
