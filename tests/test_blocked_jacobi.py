@@ -133,6 +133,33 @@ class TestMpsBlockedImpl(unittest.TestCase):
         ini = mpsop.mps_zero(n, chi)
         return circ, thetas, ini
 
+    def test_truncated_svd_fallback_below_blocking_size(self):
+        """svd_impl="blocked" must fall back to the jacobi path for
+        matrices below the blocking size (the chi-growth head phases)."""
+        import jax.numpy as jnp
+
+        from aqc_research_tpu.ops.mps import _truncated_svd
+
+        rng = np.random.default_rng(9)
+        try:
+            set_svd_impl("blocked")
+            jax.clear_caches()
+            for n, chi in ((4, 2), (16, 8), (64, 32)):
+                m = jnp.asarray(
+                    _rand_c(rng, 3, n, n).astype(np.complex64)
+                )
+                u, s, vh, mask, total = _truncated_svd(m, chi, 1e-6)
+                self.assertEqual(u.shape, (3, n, chi))
+                self.assertEqual(s.shape, (3, chi))
+                self.assertEqual(vh.shape, (3, chi, n))
+                rec = np.asarray(u) * np.asarray(s)[..., None, :] @ np.asarray(vh)
+                best = _best_rank_k(np.asarray(m), chi)
+                err = np.max(np.abs(rec - best)) / np.max(np.abs(best))
+                self.assertLess(err, 1e-3)
+        finally:
+            set_svd_impl(None)
+            jax.clear_caches()
+
     def test_mps_engine_parity_blocked(self):
         from aqc_research_tpu.ops import mps as mpsop
 
