@@ -149,6 +149,34 @@ def jacobi_sweeps() -> int | None:
     return _JACOBI_SWEEPS
 
 
+_FUSED_PAIR: bool | None = {"1": True, "0": False}.get(
+    os.environ.get("AQC_TPU_FUSED_PAIR", "")
+)
+
+
+def set_fused_pair(enabled: bool | None) -> None:
+    """Enables the fused half-layer pair-update Pallas kernel
+    (ops/fused_pair.py): theta build + adaptive Jacobi + truncation + factor
+    recovery in ONE VMEM-resident program per half-layer phase, replacing the
+    ~30 small XLA ops around each plain-kernel call.
+
+    * ``True``  — use it whenever eligible (svd_impl "jacobi", c64 tensors,
+      static trunc_thr, chi >= 8),
+    * ``False`` — never,
+    * ``None``  — auto: follow the platform default (currently OFF until the
+      on-chip measurement lands; env override AQC_TPU_FUSED_PAIR=1/0).
+
+    Read at TRACE time; jax.clear_caches() after switching."""
+    global _FUSED_PAIR
+    _FUSED_PAIR = enabled
+
+
+def fused_pair_enabled() -> bool:
+    if _FUSED_PAIR is not None:
+        return _FUSED_PAIR
+    return False
+
+
 def set_eigh_svd(enabled: bool | None) -> None:
     """Back-compat alias: True -> "embed", False -> "native", None -> auto."""
     set_svd_impl(None if enabled is None else ("embed" if enabled else "native"))

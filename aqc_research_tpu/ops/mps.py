@@ -348,6 +348,26 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
     the batched Jacobi kernel amortize a half-layer of pair updates into a
     single Pallas program instead of P serial decompositions.
     """
+    from ..config import fused_pair_enabled, svd_impl
+
+    if (
+        fused_pair_enabled()
+        and svd_impl() == "jacobi"
+        and chi >= 8
+        and jnp.dtype(dtype) == jnp.complex64
+        and isinstance(trunc_thr, (int, float))
+    ):
+        # Fused half-layer megakernel: theta build + adaptive Jacobi +
+        # truncation + factor recovery in one Pallas program (ops/fused_pair).
+        from ..config import jacobi_sweeps
+        from .fused_pair import fused_pair_update
+        from .jacobi_svd import DEFAULT_SWEEPS
+
+        return fused_pair_update(
+            lam_l, lam_c, lam_r, g1, g2, gate4, chi, float(trunc_thr),
+            dtype, rdtype, jacobi_sweeps() or DEFAULT_SWEEPS,
+        )
+
     m = _pair_theta(lam_l, lam_c, lam_r, g1, g2, gate4, chi, dtype)
     batch_shape = m.shape[:-2]
 

@@ -67,20 +67,24 @@ def _pick_chunk(b: int, n: int) -> int:
 _CONV_TOL = 1e-6
 
 
-def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
-    """One-sided Jacobi on a (chunk, n, n) block of transposed matrices.
+def _adaptive_seat_sweeps(wl_re, wl_im, wr_re, wr_im, max_sweeps: int):
+    """Adaptive Brent-Luk sweep loop on seat VALUES (the in-kernel core).
 
-    ADAPTIVE sweep count: a while_loop runs full Brent-Luk sweeps until the
-    largest off-diagonal ratio seen during a sweep drops below _CONV_TOL (or
-    ``max_sweeps`` is hit).  Fixed low sweep counts are measurably unsafe —
+    ``wl_*, wr_*``: (b, p, n) seat blocks — row j of seat L/R is a column of
+    the input matrix.  Runs full sweeps (n-1 phases) until the largest
+    entry-absolute off-diagonal residual of a sweep drops below _CONV_TOL or
+    ``max_sweeps`` is hit; returns the rotated seats.  Shared by the plain
+    Jacobi kernel below and the fused pair-update kernel
+    (ops/fused_pair.py) so both run the identical schedule/criterion.
+
+    ADAPTIVE sweep count: fixed low sweep counts are measurably unsafe —
     mid-optimization pair matrices can need many more sweeps than the
     perfect-init ones (an L-BFGS run at 4 sweeps produced garbage objectives
     while 6 converged) — and the eigh this kernel replaces is itself
     convergence-adaptive, so matching that is also what makes the cost
     comparison honest.
     """
-    b, n, _ = m_re_ref.shape
-    p = n // 2
+    b, p, n = wl_re.shape
 
     def phase(_, carry):
         wl_re, wl_im, wr_re, wr_im, resid = carry
@@ -144,18 +148,24 @@ def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref)
         )
         return (k + 1, resid, wl_re, wl_im, wr_re, wr_im)
 
-    state = (
-        jnp.int32(0),
-        jnp.float32(jnp.inf),
+    state = (jnp.int32(0), jnp.float32(jnp.inf), wl_re, wl_im, wr_re, wr_im)
+    _, _, wl_re, wl_im, wr_re, wr_im = jax.lax.while_loop(
+        sweep_cond, sweep_body, state
+    )
+    return wl_re, wl_im, wr_re, wr_im
+
+
+def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
+    """One-sided Jacobi on a (chunk, n, n) block of transposed matrices."""
+    _, n, _ = m_re_ref.shape
+    p = n // 2
+    wl_re, wl_im, wr_re, wr_im = _adaptive_seat_sweeps(
         m_re_ref[:, :p, :],
         m_im_ref[:, :p, :],
         m_re_ref[:, p:, :],
         m_im_ref[:, p:, :],
+        max_sweeps,
     )
-    _, _, wl_re, wl_im, wr_re, wr_im = jax.lax.while_loop(
-        sweep_cond, sweep_body, state
-    )
-
     w_re_ref[:, :p, :] = wl_re
     w_re_ref[:, p:, :] = wr_re
     w_im_ref[:, :p, :] = wl_im
