@@ -153,6 +153,13 @@ _FUSED_PAIR: bool | None = {"1": True, "0": False}.get(
     os.environ.get("AQC_TPU_FUSED_PAIR", "")
 )
 
+# Measured on-chip A/B (bench_mps, entry criterion, 5-repeat averages):
+# 20q chi=64 fused 30.90 vs plain 31.43 sweeps/s (a wash — the absorbed
+# surrounding ops were already overlapped by XLA), 28q chi=128 fused 6.93
+# vs plain 6.33 (+9.5% — the absorbed per-phase traffic scales with chi^2).
+# Auto therefore routes by bond dimension.
+_FUSED_PAIR_MIN_CHI = 96
+
 
 def set_fused_pair(enabled: bool | None) -> None:
     """Enables the fused half-layer pair-update Pallas kernel
@@ -163,18 +170,20 @@ def set_fused_pair(enabled: bool | None) -> None:
     * ``True``  — use it whenever eligible (svd_impl "jacobi", c64 tensors,
       static trunc_thr, chi >= 8),
     * ``False`` — never,
-    * ``None``  — auto: follow the platform default (currently OFF until the
-      on-chip measurement lands; env override AQC_TPU_FUSED_PAIR=1/0).
+    * ``None``  — auto: on TPU, use it for chi >= 96 where the on-chip A/B
+      measured a win (+9.5% at chi=128; a wash at 64 — see above); off on
+      CPU (env override AQC_TPU_FUSED_PAIR=1/0).
 
     Read at TRACE time; jax.clear_caches() after switching."""
     global _FUSED_PAIR
     _FUSED_PAIR = enabled
 
 
-def fused_pair_enabled() -> bool:
+def fused_pair_enabled(chi: int | None = None) -> bool:
+    """Whether the fused pair kernel should run at this bond dimension."""
     if _FUSED_PAIR is not None:
         return _FUSED_PAIR
-    return False
+    return is_tpu() and chi is not None and chi >= _FUSED_PAIR_MIN_CHI
 
 
 def set_eigh_svd(enabled: bool | None) -> None:

@@ -85,16 +85,21 @@ def _fused_kernel_body(
     chi: int,
     max_sweeps: int,
     thr2_ref,  # SMEM (1, 1): trunc_thr^2
-    gate_ref,  # SMEM (chunk, 32): gate4 flat re[0:16] | im[16:32]
+    gate_ref,  # SMEM (b_tot, 32) FULL array: gate4 flat re[0:16] | im[16:32]
     a_re_ref, a_im_ref,  # VMEM (chunk, 2, chi, chi): lam-scaled g1^T planes
     b_re_ref, b_im_ref,  # VMEM (chunk, 2, chi, chi): lam_r-scaled g2^T planes
     ut_re_ref, ut_im_ref,  # out (chunk, chi, 2chi): u^T rows (masked, 1/s-scaled)
     vh_re_ref, vh_im_ref,  # out (chunk, chi, 2chi): vh rows (masked)
-    lam_ref,  # out (chunk, chi): truncated + rescaled singular values
+    lam_ref,  # out (chunk, 1, chi): truncated + rescaled singular values
     w0_re, w0_im,  # scratch (chunk, 2chi, 2chi): theta^T (kept for vh)
 ):
     chunk = a_re_ref.shape[0]
     n = 2 * chi
+    # Mosaic constrains the last two dims of every BLOCK to be (8, 128)-
+    # divisible or full-size; an SMEM (chunk, 32) block violates that for
+    # ragged chunks, so the gate table rides in un-blocked and each program
+    # offsets by its grid position.
+    base = pl.program_id(0) * chunk
 
     # ---- 1. theta build: W0 = theta^T assembled block-wise on the MXU ----
     # a[u][b, a'] = g1[u, a', b] lam_l[a'] lam_c[b];  bm[v][c, b] = g2[v, b, c]
@@ -117,8 +122,8 @@ def _fused_kernel_body(
                 for u in range(2):
                     for v in range(2):
                         gidx = (s * 2 + t) * 4 + (u * 2 + v)
-                        gr = gate_ref[i, gidx]
-                        gi = gate_ref[i, 16 + gidx]
+                        gr = gate_ref[base + i, gidx]
+                        gi = gate_ref[base + i, 16 + gidx]
                         acc_re = acc_re + gr * m_re[u, v] - gi * m_im[u, v]
                         acc_im = acc_im + gr * m_im[u, v] + gi * m_re[u, v]
                 w0_re[i, t * chi:(t + 1) * chi, s * chi:(s + 1) * chi] = acc_re
@@ -146,9 +151,10 @@ def _fused_kernel_body(
     before = jnp.logical_or(
         s2m > s2l_b, jnp.logical_and(s2m == s2l_b, (mi < li)[None, :, :])
     )
-    rank = jnp.sum(before.astype(jnp.float32), axis=1)  # (chunk, n)
+    # int32 throughout: Mosaic's tpu.iota only produces integer vectors.
+    rank = jnp.sum(before.astype(jnp.int32), axis=1)  # (chunk, n)
 
-    k_iota = jax.lax.broadcasted_iota(jnp.float32, (chi, n), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (chi, n), 0)
     perm = (rank[:, None, :] == k_iota[None, :, :]).astype(jnp.float32)
 
     # Sorted top-chi squared values, and the selected rows of the rotated
@@ -179,7 +185,7 @@ def _fused_kernel_body(
     kept2 = jnp.sum(jnp.where(keep, s2s, 0.0), axis=-1, keepdims=True)
     rescale = jnp.sqrt(total2 / jnp.maximum(kept2, 1e-38))
     s_sorted = jnp.sqrt(s2s)
-    lam_ref[:] = jnp.where(keep, s_sorted * rescale, 0.0)
+    lam_ref[:] = jnp.where(keep, s_sorted * rescale, 0.0)[:, None, :]
     inv = jnp.where(keep, 1.0 / jnp.maximum(s_sorted, 1e-38), 0.0)
 
     # ---- 5. outputs: u^T = inv * Ws ; vh = inv * conj(u^T) @ W0^T ----
@@ -213,11 +219,15 @@ def _fused_pair_raw(
         (chunk, 2, chi, chi), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     out_kn = jax.ShapeDtypeStruct((b_tot, chi, n), jnp.float32)
-    out_l = jax.ShapeDtypeStruct((b_tot, chi), jnp.float32)
+    # lam is (b_tot, 1, chi) so the BLOCK's last two dims are (1, chi) —
+    # full-size in both — regardless of the (ragged) chunk; callers squeeze.
+    out_l = jax.ShapeDtypeStruct((b_tot, 1, chi), jnp.float32)
     spec_kn = pl.BlockSpec(
         (chunk, chi, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    spec_l = pl.BlockSpec((chunk, chi), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_l = pl.BlockSpec(
+        (chunk, 1, chi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     interpret = jax.default_backend() not in ("tpu", "axon")
     return pl.pallas_call(
         kernel,
@@ -225,7 +235,9 @@ def _fused_pair_raw(
         out_shape=(out_kn, out_kn, out_kn, out_kn, out_l),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, 32), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (b_tot, 32), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
             vspec4, vspec4, vspec4, vspec4,
         ],
         out_specs=(spec_kn, spec_kn, spec_kn, spec_kn, spec_l),

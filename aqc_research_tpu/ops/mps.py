@@ -351,7 +351,7 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
     from ..config import fused_pair_enabled, svd_impl
 
     if (
-        fused_pair_enabled()
+        fused_pair_enabled(chi)
         and svd_impl() == "jacobi"
         and chi >= 8
         and jnp.dtype(dtype) == jnp.complex64
