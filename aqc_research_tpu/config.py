@@ -149,6 +149,28 @@ def jacobi_sweeps() -> int | None:
     return _JACOBI_SWEEPS
 
 
+_SVD_CHUNK = int(os.environ.get("AQC_TPU_SVD_CHUNK", "0")) or None
+
+
+def set_svd_chunk(chunk: int | None) -> None:
+    """Cap the Pallas SVD kernels' VMEM batch chunk (None = VMEM-derived).
+
+    The adaptive sweep while_loop is SHARED per chunk, so every matrix in a
+    chunk pays the chunk's MAX sweep count.  Smaller chunks pay closer to
+    the per-matrix counts (probe_chunk_schedule: unsorted chunk-2 recovers
+    1.08x/1.17x of paid decomposition work at the 20q init/perturbed
+    points) at the cost of per-grid-step overhead
+    (probe_chunk_efficiency).  Read at TRACE time; jax.clear_caches()
+    after switching mid-process."""
+    global _SVD_CHUNK
+    assert chunk is None or chunk >= 1
+    _SVD_CHUNK = chunk
+
+
+def svd_chunk() -> int | None:
+    return _SVD_CHUNK
+
+
 _FUSED_PAIR: bool | None = {"1": True, "0": False}.get(
     os.environ.get("AQC_TPU_FUSED_PAIR", "")
 )

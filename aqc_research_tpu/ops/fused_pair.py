@@ -56,8 +56,13 @@ _MAX_CHUNK = 8
 
 
 def _pick_chunk(b: int, chi: int) -> int:
+    from ..config import svd_chunk
+
     per_matrix = _PER_MATRIX_BYTES * chi * chi
     cmax = max(1, min(_MAX_CHUNK, _VMEM_BUDGET // per_matrix))
+    override = svd_chunk()  # same adaptivity/overhead trade as pallas_jacobi
+    if override is not None:
+        cmax = max(1, min(cmax, override))
     n_chunks = -(-b // cmax)
     return -(-b // n_chunks)
 

@@ -48,10 +48,20 @@ _MAX_CHUNK = 16
 
 
 def _pick_chunk(b: int, n: int) -> int:
-    """Largest VMEM-feasible chunk (<= _MAX_CHUNK) that splits ``b`` into
-    equal-size grid steps with the least padding."""
+    """Largest VMEM-feasible chunk (<= _MAX_CHUNK, <= config.svd_chunk())
+    that splits ``b`` into equal-size grid steps with the least padding.
+
+    The adaptive while_loop is shared per chunk (each chunk pays its MAX
+    sweep count), so a config.set_svd_chunk cap trades per-grid-step
+    overhead for per-matrix adaptivity; see probe_chunk_schedule /
+    probe_chunk_efficiency for the two factors."""
+    from ..config import svd_chunk
+
     per_matrix = 24 * n * n  # f32 bytes resident per matrix
     cmax = max(1, min(_MAX_CHUNK, _VMEM_BUDGET // per_matrix))
+    override = svd_chunk()
+    if override is not None:
+        cmax = max(1, min(cmax, override))
     n_chunks = -(-b // cmax)
     return -(-b // n_chunks)
 

@@ -34,6 +34,7 @@ def main(
     layers: int = 4,
     batch: int = 1,
     svd_impl: str | None = None,
+    perturb: float = 0.0,
 ):
     import jax.numpy as jnp
 
@@ -57,6 +58,13 @@ def main(
     thetas = trotop.init_ansatz_to_trotter(
         circ, np.zeros(circ.num_thetas), evol_time=evol_time, delta=delta
     )
+    if perturb:
+        # Mid-optimization stand-in: adaptive sweep counts (and their spread)
+        # are larger away from the perfect init (RESULTS.md roofline table);
+        # seed matches benchmarks/probe_sweep_counts.py so the captured
+        # count tables describe THIS point.
+        rng = np.random.default_rng(5)
+        thetas = thetas + perturb * rng.standard_normal(circ.num_thetas)
     thetas = jnp.asarray(thetas)
 
     ini = trotop.neel_init_state(num_qubits)
@@ -125,6 +133,7 @@ def main(
                     f"MPS objective+gradient sweeps/sec, {num_qubits}q chi={chi} "
                     f"{layers}-layer Trotter ansatz (trunc 1e-6)"
                     + (f", fleet of {batch}" if batch > 1 else "")
+                    + (f", {perturb}-rad perturbed" if perturb else "")
                 ),
                 "value": round(batch / per_step, 4),
                 "unit": "sweeps/s",
@@ -146,8 +155,12 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
         argv.remove("--cpu")
     impl = None
+    perturb = 0.0
     for a in list(argv):
         if a.startswith("--svd-impl="):
             impl = a.split("=", 1)[1]
             argv.remove(a)
-    main(*[int(a) for a in argv[:4]], svd_impl=impl)
+        elif a.startswith("--perturb="):
+            perturb = float(a.split("=", 1)[1])
+            argv.remove(a)
+    main(*[int(a) for a in argv[:4]], svd_impl=impl, perturb=perturb)

@@ -43,14 +43,18 @@ def measure(batch, n, chunks, repeats=20):
     for chunk in chunks:
         assert batch % chunk == 0
         times = {}
-        for sweeps in (2, 8):
-            out = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
-            _ = float(np.asarray(out[0])[0, 0, 0])  # fetch: flush + verify
-            tic = time.perf_counter()
-            for _ in range(repeats):
+        try:
+            for sweeps in (2, 8):
                 out = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
-            out[0].block_until_ready()
-            times[sweeps] = (time.perf_counter() - tic) / repeats
+                _ = float(np.asarray(out[0])[0, 0, 0])  # fetch: flush + verify
+                tic = time.perf_counter()
+                for _ in range(repeats):
+                    out = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
+                out[0].block_until_ready()
+                times[sweeps] = (time.perf_counter() - tic) / repeats
+        except Exception as e:  # e.g. scoped-VMEM OOM at large chunk*n^2
+            print(f"   chunk={chunk:2d}: FAILED ({str(e)[:120]}...)", flush=True)
+            continue
         per_sweep = (times[8] - times[2]) / 6
         per_mat = per_sweep / batch
         flops = 18.0 * n * n * (n - 1)  # per matrix per sweep

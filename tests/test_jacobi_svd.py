@@ -112,6 +112,28 @@ class TestJacobiSvdPallas(unittest.TestCase):
                 _rand_c(rng, b, 16, 16).astype(np.complex64), 8, 5e-5
             )
 
+    def test_svd_chunk_override_parity(self):
+        """config.set_svd_chunk caps the kernel's VMEM chunk (smaller chunks
+        pay per-matrix-closer adaptive sweep counts, probe_chunk_schedule);
+        the factorization contract must be unchanged under any cap."""
+        from aqc_research_tpu.config import set_svd_chunk
+
+        rng = np.random.default_rng(11)
+        m = _rand_c(rng, 10, 16, 16).astype(np.complex64)
+        ref = jacobi_svd_pallas_top_k(jnp.asarray(m), 8)
+        try:
+            for cap in (1, 2, 5):
+                set_svd_chunk(cap)
+                jax.clear_caches()
+                self._check_top_k(m, 8, 5e-5)
+                got = jacobi_svd_pallas_top_k(jnp.asarray(m), 8)
+                np.testing.assert_allclose(
+                    np.asarray(got[1]), np.asarray(ref[1]), rtol=2e-5, atol=2e-6
+                )
+        finally:
+            set_svd_chunk(None)
+            jax.clear_caches()
+
     def test_clustered_spectrum(self):
         rng = np.random.default_rng(6)
         n = 32
