@@ -47,18 +47,28 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _MAX_CHUNK = 16
 
 
-def _pick_chunk(b: int, n: int) -> int:
-    """Largest VMEM-feasible chunk (<= _MAX_CHUNK, <= config.svd_chunk())
-    that splits ``b`` into equal-size grid steps with the least padding.
+# At n >= 128 the default chunk is capped at 2: the adaptive while_loop is
+# shared per chunk (each matrix pays the chunk's MAX sweep count), and the
+# per-grid-step overhead of small chunks is ~free at these shapes — measured
+# on-chip 20q chi=64: 32.98 vs 30.88 sweeps/s at init (+6.8%), 20.77 vs
+# 18.83 at the 0.05-perturbed point (+10.3%), grad_norm bit-identical.
+# Smaller shapes keep VMEM-derived chunks: they are chi-growth head phases
+# with uniform low counts where splitting is pure overhead (capping ALL
+# shapes measured -2.6% at 28q init, where full-chi phases are fused).
+_SMALL_CHUNK_MIN_N = 128
+_SMALL_CHUNK = int(__import__("os").environ.get("AQC_TPU_SMALL_CHUNK", "2"))
 
-    The adaptive while_loop is shared per chunk (each chunk pays its MAX
-    sweep count), so a config.set_svd_chunk cap trades per-grid-step
-    overhead for per-matrix adaptivity; see probe_chunk_schedule /
-    probe_chunk_efficiency for the two factors."""
+
+def _pick_chunk(b: int, n: int) -> int:
+    """VMEM-feasible chunk (<= _MAX_CHUNK, <= config.svd_chunk()) that
+    splits ``b`` into equal-size grid steps with the least padding; capped
+    at _SMALL_CHUNK for n >= _SMALL_CHUNK_MIN_N (see above)."""
     from ..config import svd_chunk
 
     per_matrix = 24 * n * n  # f32 bytes resident per matrix
     cmax = max(1, min(_MAX_CHUNK, _VMEM_BUDGET // per_matrix))
+    if n >= _SMALL_CHUNK_MIN_N:
+        cmax = min(cmax, _SMALL_CHUNK)
     override = svd_chunk()
     if override is not None:
         cmax = max(1, min(cmax, override))
