@@ -47,16 +47,19 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _MAX_CHUNK = 16
 
 
-# At n >= 128 the default chunk is capped at 2: the adaptive while_loop is
+# At n >= 128 the default chunk is capped at 1: the adaptive while_loop is
 # shared per chunk (each matrix pays the chunk's MAX sweep count), and the
 # per-grid-step overhead of small chunks is ~free at these shapes — measured
-# on-chip 20q chi=64: 32.98 vs 30.88 sweeps/s at init (+6.8%), 20.77 vs
-# 18.83 at the 0.05-perturbed point (+10.3%), grad_norm bit-identical.
+# on-chip 20q chi=64 (sweeps/s, grad_norm bit-identical): cap 16 -> 2 -> 1
+# is 30.88 -> 33.51 -> 33.70 at init and 18.83 -> 21.34 -> 21.97 at the
+# 0.05-perturbed point (same-day A/Bs); 28q chi=128 is chunk-insensitive
+# (7.04 vs 7.01 init, 3.95 vs 3.96 perturbed — its full-chi phases use the
+# fused kernel, which VMEM-caps itself at 2 for chi >= 128 anyway).
 # Smaller shapes keep VMEM-derived chunks: they are chi-growth head phases
 # with uniform low counts where splitting is pure overhead (capping ALL
-# shapes measured -2.6% at 28q init, where full-chi phases are fused).
+# shapes measured -2.6% at 28q init).
 _SMALL_CHUNK_MIN_N = 128
-_SMALL_CHUNK = int(__import__("os").environ.get("AQC_TPU_SMALL_CHUNK", "2"))
+_SMALL_CHUNK = int(__import__("os").environ.get("AQC_TPU_SMALL_CHUNK", "1"))
 
 
 def _pick_chunk(b: int, n: int) -> int:

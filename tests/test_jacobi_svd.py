@@ -134,6 +134,20 @@ class TestJacobiSvdPallas(unittest.TestCase):
             set_svd_chunk(None)
             jax.clear_caches()
 
+    def test_pick_chunk_small_cap_at_large_n(self):
+        """n >= 128 caps the grid chunk at _SMALL_CHUNK (default 1): the
+        adaptive while_loop is shared per chunk, so small chunks pay
+        per-matrix-closer sweep counts — measured +7-17% at 20q chi=64
+        over the uncapped VMEM chunk (RESULTS.md).  Small n keeps
+        VMEM-derived chunks (chi-growth head phases have uniform low
+        counts; splitting is pure overhead)."""
+        from aqc_research_tpu.ops.pallas_jacobi import _pick_chunk, _SMALL_CHUNK
+
+        assert _pick_chunk(10, 128) <= _SMALL_CHUNK
+        assert _pick_chunk(10, 256) <= _SMALL_CHUNK
+        # below the threshold the VMEM rule still applies (16 at n=16)
+        assert _pick_chunk(10, 16) > _SMALL_CHUNK
+
     def test_clustered_spectrum(self):
         rng = np.random.default_rng(6)
         n = 32
