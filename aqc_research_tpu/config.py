@@ -84,7 +84,7 @@ def is_tpu() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-_SVD_IMPLS = ("native", "gram", "embed", "jacobi", "blocked")
+_SVD_IMPLS = ("native", "gram", "embed", "jacobi", "blocked", "rand")
 _SVD_IMPL: str | None = os.environ.get("AQC_TPU_SVD_IMPL") or None
 
 
@@ -108,6 +108,12 @@ def set_svd_impl(impl: str | None) -> None:
       MXU-friendly prototype — panel Grams/updates are batched matmuls, the
       small subproblems ride the VPU lanes.  Falls back to "jacobi" for
       matrices below the blocking size (chi-growth heads).
+    * ``"rand"``   — randomized-projection truncated SVD (ops/rand_svd.py):
+      HMT range-finder on the MXU (matmuls + batched CholQR) + the SAME
+      Pallas Jacobi kernel on the projected (k+16, 2chi) problem — 0.39x
+      the VPU flops at the chi=64 pair shape, junk tail projected out
+      before the kernel.  f32/c64 production path; matrices below
+      rand_svd.RAND_MIN_N fall back to "jacobi".
     * ``None``     — auto: "jacobi" on TPU-like backends (measured 1.8x the
       gram impl on the 20q chi=64 MPS sweep with the adaptive sweep loop,
       and convergence-validated in the jitted L-BFGS), "native" elsewhere.

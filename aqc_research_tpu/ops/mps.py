@@ -261,15 +261,25 @@ def _truncated_svd(m: jax.Array, chi: int, trunc_thr: float):
         u, s, vh = u[..., :, :chi], s[..., :chi], vh[..., :chi, :]
         mask = mask[..., :chi]
         return u, s, vh, mask, total
-    if impl in ("jacobi", "blocked"):
+    if impl in ("jacobi", "blocked", "rand"):
         # Batched Pallas one-sided Jacobi kernel (ops/pallas_jacobi.py), or
         # the blocked MXU-friendly prototype (ops/blocked_jacobi.py) for
-        # matrices large enough to block.
+        # matrices large enough to block, or the randomized-projection
+        # reduced Jacobi (ops/rand_svd.py) — small matrices (chi-growth
+        # heads) fall back to the plain kernel in both variants.
         from ..config import jacobi_sweeps
         from .jacobi_svd import DEFAULT_SWEEPS, jacobi_svd_top_k
         from .pallas_jacobi import jacobi_svd_pallas_top_k
 
         sweeps = jacobi_sweeps() or DEFAULT_SWEEPS
+        if impl == "rand":
+            from .rand_svd import RAND_MIN_N, rand_svd_top_k
+
+            if m.shape[-1] >= RAND_MIN_N:
+                u, s, vh = rand_svd_top_k(m, chi, sweeps)
+                total = jnp.linalg.norm(m, axis=(-2, -1)).astype(s.dtype)
+                mask = _truncation_mask_topk(s, total, chi, trunc_thr)
+                return u, s, vh, mask, total
         if impl == "blocked" and m.shape[-1] >= 64 and m.shape[-1] % 32 == 0:
             from .blocked_jacobi import blocked_jacobi_svd_top_k
 

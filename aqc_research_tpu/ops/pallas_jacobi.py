@@ -62,15 +62,17 @@ _SMALL_CHUNK_MIN_N = 128
 _SMALL_CHUNK = int(__import__("os").environ.get("AQC_TPU_SMALL_CHUNK", "1"))
 
 
-def _pick_chunk(b: int, n: int) -> int:
+def _pick_chunk(b: int, n: int, rows: int | None = None) -> int:
     """VMEM-feasible chunk (<= _MAX_CHUNK, <= config.svd_chunk()) that
     splits ``b`` into equal-size grid steps with the least padding; capped
-    at _SMALL_CHUNK for n >= _SMALL_CHUNK_MIN_N (see above)."""
+    at _SMALL_CHUNK for n >= _SMALL_CHUNK_MIN_N (see above).  ``rows``
+    covers the rectangular working arrays of the randomized-projection
+    path (ops/rand_svd.py): ``n`` columns of length ``rows``."""
     from ..config import svd_chunk
 
-    per_matrix = 24 * n * n  # f32 bytes resident per matrix
+    per_matrix = 24 * n * (rows if rows is not None else n)
     cmax = max(1, min(_MAX_CHUNK, _VMEM_BUDGET // per_matrix))
-    if n >= _SMALL_CHUNK_MIN_N:
+    if max(n, rows or 0) >= _SMALL_CHUNK_MIN_N:
         cmax = min(cmax, _SMALL_CHUNK)
     override = svd_chunk()
     if override is not None:
@@ -179,7 +181,10 @@ def _adaptive_seat_sweeps(wl_re, wl_im, wr_re, wr_im, max_sweeps: int):
 
 
 def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref):
-    """One-sided Jacobi on a (chunk, n, n) block of transposed matrices."""
+    """One-sided Jacobi on a (chunk, c, r) block of transposed matrices:
+    row j of the working array is column j of the input, so ``c`` is the
+    column count being orthogonalized and ``r`` rides the lanes (square
+    inputs have c == r; the randomized-projection path feeds c < r)."""
     _, n, _ = m_re_ref.shape
     p = n // 2
     wl_re, wl_im, wr_re, wr_im = _adaptive_seat_sweeps(
@@ -197,14 +202,15 @@ def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref)
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int):
-    """Runs the kernel on transposed re/im planes (B, n, n); B must be a
-    multiple of ``chunk``.  Returns (w_re, w_im) with W = (m V)^T rows."""
-    b, n, _ = m_re.shape
-    assert b % chunk == 0
-    out = jax.ShapeDtypeStruct((b, n, n), jnp.float32)
+    """Runs the kernel on transposed re/im planes (B, c, r) — c columns of
+    length r, c even (square inputs have c == r); B must be a multiple of
+    ``chunk``.  Returns (w_re, w_im) with W = (m V)^T rows."""
+    b, c, r = m_re.shape
+    assert b % chunk == 0 and c % 2 == 0
+    out = jax.ShapeDtypeStruct((b, c, r), jnp.float32)
     kernel = partial(_jacobi_kernel_body, sweeps)
     spec = pl.BlockSpec(
-        (chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (chunk, c, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     # Interpreter mode off-TPU (CPU test backend) — same numerics.
     interpret = jax.default_backend() not in ("tpu", "axon")

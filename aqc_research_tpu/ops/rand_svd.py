@@ -1,0 +1,162 @@
+"""Randomized-projection truncated SVD: MXU range-finder + reduced Jacobi.
+
+The MPS pair update (ops/mps.py `_pair_update`; the workload Aer's C++
+truncated SVD serves in the reference,
+/root/reference/aqc_research/mps_operations.py:251-257) decomposes a
+(2chi, 2chi) matrix but KEEPS only the top chi singular triplets.  The
+production Jacobi kernel (ops/pallas_jacobi.py) orthogonalizes all 2chi
+columns — including the chi-sized about-to-be-truncated tail.  This module
+shrinks the VPU-bound Jacobi problem with the Halko-Martinsson-Tropp
+randomized range-finder, whose heavy ops are batched complex matmuls —
+exactly what the MXU does for free at these sizes (orthonormalization is
+batched Householder QR — see ``_orth`` for why not CholeskyQR):
+
+    1. sample       Y = A @ Omega                (n x l, l = k + oversample)
+    2. power iters  Y <- A (A^H Y), QR between     [sharpen the subspace]
+    3. orthobasis   Q = QR(Y).Q                  (n x l isometry)
+    4. project      B = Q^H A                    (l x n)
+    5. reduced SVD  one-sided Jacobi on B^H      (l columns of length n)
+    6. recover      vh = U_M^H ;  u = A vh^H / s (one MXU matmul)
+
+Step 5 reuses the SAME Pallas kernel (`_jacobi_pallas_raw` runs rectangular
+working arrays natively): at the 20q chi=64 shape the kernel's work drops
+from 64 column pairs x 127 phases to (l=80)/2 = 40 pairs x 79 phases —
+0.39x the VPU flops — while steps 1-4 + 6 ride the MXU/batched-cholesky
+paths that were measured ~free at these sizes
+(benchmarks/probe_decomp_primitives.py).  A second structural win: the
+junk tail (singular values < eps * s_max with O(1) mutual angles — the
+round-3 convergence-criterion problem) is projected OUT before the kernel
+ever sees it.
+
+Accuracy: the kept-subspace error of the HMT sketch is O(s_{l+1}) with
+power iterations sharpening the constant — i.e. bounded by the tail the
+truncation is ALREADY discarding (l > k).  The factor W = (B^H) V' comes
+out of the kernel with orthonormal rows (same residual ~5e-7 as the plain
+path); u is recovered by one matmul like the gram path's vh.  f32/c64
+production path only — f64 parity work keeps the exact impls.
+
+Selected via ``config.set_svd_impl("rand")`` (env AQC_TPU_SVD_IMPL=rand);
+matrices below _RAND_MIN_N fall back to the plain Jacobi kernel (the
+chi-growth head phases, where the projection overhead cannot pay).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .jacobi_svd import DEFAULT_SWEEPS
+from .pallas_jacobi import _jacobi_pallas_raw, _pick_chunk
+
+_EPS32 = float(jnp.finfo(jnp.float32).eps)
+
+# l = k + _OVERSAMPLE sampled columns (rounded up to even for the kernel's
+# seat pairing).  16 keeps l sublane-tile-aligned at the production shapes
+# (chi=64 -> l=80, chi=128 -> l=144).
+_OVERSAMPLE = int(os.environ.get("AQC_TPU_RAND_OVERSAMPLE", "16"))
+# Subspace-sharpening power iterations (Y <- A A^H Y with re-orthonormal-
+# ization).  1 is the measured-safe default on the graded pair spectra.
+_POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
+# Below this matrix size the projection overhead cannot pay; the dispatcher
+# (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
+RAND_MIN_N = int(os.environ.get("AQC_TPU_RAND_MIN_N", "128"))
+
+def _orth(y: jax.Array) -> jax.Array:
+    """Batched orthonormal basis of the columns of ``y`` (..., n, l).
+
+    Householder QR (batches well on this backend, unlike eigh —
+    benchmarks/probe_decomp_primitives.py).  NOT CholeskyQR: the sample
+    matrix's condition is ~s_max/s_l of the pair matrix — up to ~1e7 on
+    production graded spectra — and the Gram squares it past f32
+    (measured: cholesky NaNs at graded rate 0.15).  Householder is
+    backward-stable at any condition; rank-deficient trailing columns come
+    out as arbitrary-but-orthonormal directions, which merely sample extra
+    subspace (the reduced SVD sorts the weight out afterwards).
+    """
+    return jnp.linalg.qr(y, mode="reduced")[0]
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def rand_svd_top_k(
+    m: jax.Array,
+    k: int,
+    sweeps: int = DEFAULT_SWEEPS,
+    oversample: int | None = None,
+    power_iters: int | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k truncated SVD via randomized projection + the reduced Jacobi
+    kernel; same contract as
+    :func:`aqc_research_tpu.ops.pallas_jacobi.jacobi_svd_pallas_top_k`
+    (f32/c64 production path; singular values below the 32*eps relative
+    noise floor come back as exact zeros with zeroed factor columns).
+
+    ``m``: (..., n, n) complex64 (or float32), n even.
+    """
+    n = m.shape[-1]
+    assert m.shape[-2] == n and n % 2 == 0
+    batch_shape = m.shape[:-2]
+    cdtype = m.dtype if jnp.iscomplexobj(m) else jnp.complex64
+    a = m.reshape((-1, n, n)).astype(jnp.complex64)
+    b = a.shape[0]
+    ell = min(n, k + (_OVERSAMPLE if oversample is None else oversample))
+    ell += ell % 2  # kernel seats pair the columns
+    q_iters = _POWER_ITERS if power_iters is None else power_iters
+
+    # Fixed test matrix: deterministic per shape (reproducible programs; no
+    # per-call host RNG round trips).  A real Gaussian samples both complex
+    # planes of A's row space.
+    key = jax.random.PRNGKey(0x5EED ^ (n << 8) ^ ell)
+    omega = jax.random.normal(key, (n, ell), jnp.float32).astype(a.dtype)
+
+    y = _orth(jnp.einsum("...ij,jk->...ik", a, omega))
+    ah = jnp.conj(jnp.swapaxes(a, -1, -2))
+    for _ in range(q_iters):
+        z = _orth(jnp.einsum("...ij,...jk->...ik", ah, y))
+        y = _orth(jnp.einsum("...ij,...jk->...ik", a, z))
+    q = y
+    bm = jnp.einsum("...ji,...jk->...ik", jnp.conj(q), a)  # (B, l, n)
+
+    # Reduced one-sided Jacobi on M = B^H (n x l): the kernel's transposed
+    # working layout (row j = column j of M) is exactly conj(bm) — l rows
+    # of full lane width n, l/2 seat pairs, l-1 phases per sweep.
+    chunk = _pick_chunk(max(b, 1), ell, rows=n)
+    b_pad = -(-b // chunk) * chunk
+    m_re = jnp.real(bm).astype(jnp.float32)
+    m_im = -jnp.imag(bm).astype(jnp.float32)
+    if b_pad != b:
+        pad = ((0, b_pad - b), (0, 0), (0, 0))
+        m_re, m_im = jnp.pad(m_re, pad), jnp.pad(m_im, pad)
+    w_re, w_im = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
+    w_re, w_im = w_re[:b], w_im[:b]
+
+    # Row j of W is (s_j * u_j)^T of M = B^H: s = row norms; the rows of
+    # conj(W)/s are U_M^H = Vh_B — the right factor of A, already
+    # orthonormal to the kernel's residual (no recovery matmul needed).
+    s = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=-1))  # (B, l)
+    w = (w_re + 1j * w_im).astype(cdtype)
+
+    order = jnp.argsort(-s, axis=-1)[..., :k]
+    s = jnp.take_along_axis(s, order, axis=-1)
+    w = jnp.take_along_axis(w, order[..., :, None], axis=-2)
+
+    # Same noise-direction guard as the plain kernel (see pallas_jacobi):
+    # below-floor rows are rotation/projection residue — zero them.
+    s_floor = (32.0 * _EPS32) * s[..., :1]
+    keep = s > s_floor
+    s = jnp.where(keep, s, 0.0)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+
+    vh = jnp.conj(w) * inv[..., :, None].astype(cdtype)  # (B, k, n)
+    # Left factor recovered on the MXU: u = A vh^H diag(1/s) — the mirror
+    # of the gram/jacobi paths' vh recovery; zero columns for masked s.
+    u = jnp.einsum("...ij,...kj->...ik", a.astype(cdtype), jnp.conj(vh))
+    u = u * inv[..., None, :].astype(cdtype)
+    return (
+        u.reshape(batch_shape + (n, k)),
+        s.reshape(batch_shape + (k,)),
+        vh.reshape(batch_shape + (k, n)),
+    )
