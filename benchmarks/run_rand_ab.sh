@@ -1,0 +1,32 @@
+#!/bin/bash
+# Sweep-level A/B of the randomized-projection truncated SVD (svd_impl=rand)
+# vs the production Jacobi kernel, at the two MPS production shapes
+# (BASELINE.md configs 3/5), plus a convergence check (short jitted L-BFGS
+# run at 16q chi=64 where the rand path is active: n = 2*chi = 128).
+#
+# Each step is individually time-bounded; partial results survive in the log.
+# Jacobi reference numbers for the same harness (previous session, warm
+# cache): 20q init 33.77, 20q perturbed 21.82, 28q init 7.18, 28q perturbed
+# 4.25 sweeps/s.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/rand_ab.log}
+: > "$LOG"
+
+step() {
+  echo "=== $1 ===" >> "$LOG"
+  shift
+  timeout 2700 "$@" >> "$LOG" 2>&1
+  echo "[exit $?]" >> "$LOG"
+}
+
+step "rand 20q init"       python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand
+step "rand 20q perturbed"  python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
+step "rand 28q init"       python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand
+step "rand 28q perturbed"  python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
+# Convergence: fobj after 15 L-BFGS iters must land in the same band for
+# both impls (the fixed-low-sweep trap of round 2 showed rate benches alone
+# are NOT safe evidence).
+step "jitloop 16q chi=64 jacobi" env AQC_TPU_SVD_IMPL=jacobi python benchmarks/probe_mps_jit_loop.py 16 64 2 15
+step "jitloop 16q chi=64 rand"   env AQC_TPU_SVD_IMPL=rand   python benchmarks/probe_mps_jit_loop.py 16 64 2 15
+echo "ALL DONE" >> "$LOG"
