@@ -24,6 +24,10 @@ step "rand 20q init"       python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=r
 step "rand 20q perturbed"  python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
 step "rand 28q init"       python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand
 step "rand 28q perturbed"  python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
+# Fleet: decompositions are flops-bound (RESULTS), so halving per-matrix
+# flops may finally lift the 8-start amortization past the 4x target
+# (round-3 plateau: 3.93x, aggregate 21.82 sweeps/s at 20q).
+step "rand 20q fleet8"     python benchmarks/bench_mps.py 20 64 4 8 --svd-impl=rand
 # Convergence: fobj after 15 L-BFGS iters must land in the same band for
 # both impls (the fixed-low-sweep trap of round 2 showed rate benches alone
 # are NOT safe evidence).
