@@ -20,6 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aqc_research_tpu.config import is_tpu, set_precision
 
+if "--cpu" in sys.argv:  # force the CPU backend (sitecustomize pins axon)
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 set_precision("fast" if is_tpu() else "high")
 
 import jax.numpy as jnp

@@ -158,5 +158,89 @@ class TestRandSvd(unittest.TestCase):
             set_svd_impl(None)
 
 
+class TestMpsRandImpl(unittest.TestCase):
+    """svd_impl="rand" through the MPS engine: state + gradient parity.
+
+    RAND_MIN_N is patched down so the chi=8 (n=16) pair matrices of the
+    small test circuit take the randomized-projection path — the same
+    trick the sweep-level convergence probe uses
+    (benchmarks/run_rand_ab.sh runs the production shapes on TPU)."""
+
+    def _trotter_setup(self, n=4, chi=8):
+        from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+        from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+        from aqc_research_tpu.ops import mps as mpsop
+        from aqc_research_tpu.utils import rand_thetas
+
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 2), True)
+        thetas = rand_thetas(circ.num_thetas)
+        ini = mpsop.mps_zero(n, chi)
+        return circ, thetas, ini
+
+    def _patched(self):
+        from unittest import mock
+
+        from aqc_research_tpu.ops import rand_svd
+
+        return mock.patch.object(rand_svd, "RAND_MIN_N", 16)
+
+    def test_mps_engine_parity_rand(self):
+        """Full v_mul_mps state parity: rand impl vs LAPACK (f32 floor —
+        the rand path computes in c64 regardless of the precision mode)."""
+        from aqc_research_tpu.config import set_svd_impl
+        from aqc_research_tpu.ops import mps as mpsop
+
+        circ, thetas, ini = self._trotter_setup()
+        try:
+            set_svd_impl("native")
+            jax.clear_caches()
+            ref = np.asarray(mpsop.mps_to_vector(mpsop.v_mul_mps(circ, thetas, ini)))
+            set_svd_impl("rand")
+            with self._patched():
+                jax.clear_caches()
+                got = np.asarray(
+                    mpsop.mps_to_vector(mpsop.v_mul_mps(circ, thetas, ini))
+                )
+        finally:
+            set_svd_impl(None)
+            jax.clear_caches()
+        np.testing.assert_allclose(got, ref, atol=5e-6)
+
+    def test_gradient_parity_rand(self):
+        """MPS co-sweep gradient under the rand impl vs the gram path —
+        the same contract the jacobi impl is held to (<= 1e-5)."""
+        from aqc_research_tpu.config import set_svd_impl
+        from aqc_research_tpu.ops import mps as mpsop
+        from aqc_research_tpu.ops.mps_gradient import fast_dot_gradient
+
+        circ, thetas, _ = self._trotter_setup()
+        n = circ.num_qubits
+        phi = mpsop.rand_mps_vec(n, num_layers=1, chi_max=8)
+        target = mpsop.v_dagger_mul_mps(circ, thetas, phi)
+        lvec = mpsop.mps_zero(n, 8)
+
+        grads = {}
+        try:
+            set_svd_impl("gram")
+            jax.clear_caches()
+            grads["gram"] = np.asarray(
+                fast_dot_gradient(circ, thetas, lvec, target)
+            )
+            set_svd_impl("rand")
+            with self._patched():
+                jax.clear_caches()
+                grads["rand"] = np.asarray(
+                    fast_dot_gradient(circ, thetas, lvec, target)
+                )
+        finally:
+            set_svd_impl(None)
+            jax.clear_caches()
+        ref_norm = np.linalg.norm(grads["gram"])
+        self.assertGreater(ref_norm, 1e-8)
+        rel = abs(np.linalg.norm(grads["rand"]) - ref_norm) / ref_norm
+        self.assertLess(rel, 1e-5)
+        np.testing.assert_allclose(grads["rand"], grads["gram"], atol=1e-5)
+
+
 if __name__ == "__main__":
     unittest.main()
