@@ -109,7 +109,8 @@ def set_svd_impl(impl: str | None) -> None:
       small subproblems ride the VPU lanes.  Falls back to "jacobi" for
       matrices below the blocking size (chi-growth heads).
     * ``"rand"``   — randomized-projection truncated SVD (ops/rand_svd.py):
-      HMT range-finder on the MXU (matmuls + batched CholQR) + the SAME
+      HMT range-finder on the MXU (matmuls + batched Householder QR —
+      CholeskyQR measured NaN-prone on the graded spectra) + the SAME
       Pallas Jacobi kernel on the projected (k+16, 2chi) problem — 0.39x
       the VPU flops at the chi=64 pair shape, junk tail projected out
       before the kernel.  f32/c64 production path; matrices below

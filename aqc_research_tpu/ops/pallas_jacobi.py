@@ -96,9 +96,11 @@ def _adaptive_seat_sweeps(wl_re, wl_im, wr_re, wr_im, max_sweeps: int):
     """Adaptive Brent-Luk sweep loop on seat VALUES (the in-kernel core).
 
     ``wl_*, wr_*``: (b, p, n) seat blocks — row j of seat L/R is a column of
-    the input matrix.  Runs full sweeps (n-1 phases) until the largest
-    entry-absolute off-diagonal residual of a sweep drops below _CONV_TOL or
-    ``max_sweeps`` is hit; returns the rotated seats.  Shared by the plain
+    the input matrix (2p columns of lane length n; rectangular inputs from
+    the randomized-projection path have 2p < n).  Runs full sweeps (2p-1
+    phases — one complete round-robin tour of the 2p columns) until the
+    largest entry-absolute off-diagonal residual of a sweep drops below
+    _CONV_TOL or ``max_sweeps`` is hit; returns the rotated seats.  Shared by the plain
     Jacobi kernel below and the fused pair-update kernel
     (ops/fused_pair.py) so both run the identical schedule/criterion.
 
@@ -168,8 +170,11 @@ def _adaptive_seat_sweeps(wl_re, wl_im, wr_re, wr_im, max_sweeps: int):
 
     def sweep_body(state):
         k, _, wl_re, wl_im, wr_re, wr_im = state
+        # One full round-robin tour of the 2p COLUMNS is 2p-1 phases (== n-1
+        # only for square inputs; the rand path's rectangular problems have
+        # 2p < n lanes and must not pay lane-count phases).
         wl_re, wl_im, wr_re, wr_im, resid = jax.lax.fori_loop(
-            0, n - 1, phase, (wl_re, wl_im, wr_re, wr_im, jnp.float32(0.0))
+            0, 2 * p - 1, phase, (wl_re, wl_im, wr_re, wr_im, jnp.float32(0.0))
         )
         return (k + 1, resid, wl_re, wl_im, wr_re, wr_im)
 
@@ -224,6 +229,35 @@ def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int):
     )(m_re, m_im)
 
 
+def _sort_guard_top_k(w_re, w_im, k: int, cdtype):
+    """Shared tail of the kernel paths (plain + randomized-projection):
+    sort the kernel's output rows by norm, keep the top ``k``, and kill
+    directions below the relative noise floor.
+
+    Noise-direction guard: below-rank rows of the rotated working array are
+    f32 rotation residue (norm ~ eps * s_max) whose DIRECTION can lie
+    entirely inside the true column space; normalizing them yields garbage
+    factor columns, and the diag(1/s) recovery cancels the tiny s against
+    1/s — keeping O(1) wrong contributions in u diag(s) vh.  (The gram-eigh
+    path is immune: its unitary factor comes from eigh.)  Every direction
+    below a relative floor safely above the measured orthogonality residue
+    (~5e-7) is zeroed: its true weight is < 4e-6 * s_max, below f32
+    resolution.
+
+    Returns (w, s, inv): w (B, k, r) complex rows, s (B, k) with exact
+    zeros below the floor, inv the mask-safe 1/s."""
+    s = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=-1))
+    w = (w_re + 1j * w_im).astype(cdtype)
+    order = jnp.argsort(-s, axis=-1)[..., :k]
+    s = jnp.take_along_axis(s, order, axis=-1)
+    w = jnp.take_along_axis(w, order[..., :, None], axis=-2)
+    s_floor = (32.0 * _EPS32) * s[..., :1]
+    keep = s > s_floor
+    s = jnp.where(keep, s, 0.0)
+    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    return w, s, inv
+
+
 def _jacobi_u_s(m: jax.Array, sweeps: int, k: int):
     """Kernel run + sort + truncate to k: returns (u_k, s_k, inv_k, mb,
     batch_shape) with u_k (B, n, k) isometric columns."""
@@ -247,26 +281,8 @@ def _jacobi_u_s(m: jax.Array, sweeps: int, k: int):
     w_re, w_im = _jacobi_pallas_raw(m_re, m_im, sweeps, chunk)
     w_re, w_im = w_re[:b], w_im[:b]
 
-    s = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=-1))  # (B, n)
     cdtype = mb.dtype if jnp.iscomplexobj(mb) else jnp.complex64
-    w = (w_re + 1j * w_im).astype(cdtype)
-
-    order = jnp.argsort(-s, axis=-1)[..., :k]
-    s = jnp.take_along_axis(s, order, axis=-1)
-    w = jnp.take_along_axis(w, order[..., :, None], axis=-2)
-
-    # Noise-direction guard.  Below-rank columns of m V are f32 rotation
-    # residue (norm ~ eps * s_max) whose DIRECTION can lie entirely inside
-    # the true column space; normalizing them yields garbage u columns, and
-    # the vh = diag(1/s) u^H m recovery cancels the tiny s against 1/s —
-    # keeping O(1) wrong contributions in u diag(s) vh.  (The gram-eigh path
-    # is immune: its unitary factor comes from eigh.)  Kill every direction
-    # below a relative floor safely above the measured orthogonality residue
-    # (~5e-7): its true weight is < 4e-6 * s_max, below f32 resolution.
-    s_floor = (32.0 * _EPS32) * s[..., :1]
-    keep = s > s_floor
-    s = jnp.where(keep, s, 0.0)
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    w, s, inv = _sort_guard_top_k(w_re, w_im, k, cdtype)
     u = jnp.swapaxes(w * inv[..., :, None].astype(w.dtype), -1, -2)
     return u, s, inv, mb, batch_shape
 

@@ -50,9 +50,7 @@ import jax
 import jax.numpy as jnp
 
 from .jacobi_svd import DEFAULT_SWEEPS
-from .pallas_jacobi import _jacobi_pallas_raw, _pick_chunk
-
-_EPS32 = float(jnp.finfo(jnp.float32).eps)
+from .pallas_jacobi import _jacobi_pallas_raw, _pick_chunk, _sort_guard_top_k
 
 # l = k + _OVERSAMPLE sampled columns (rounded up to even for the kernel's
 # seat pairing).  16 keeps l sublane-tile-aligned at the production shapes
@@ -106,13 +104,16 @@ def rand_svd_top_k(
     ell += ell % 2  # kernel seats pair the columns
     q_iters = _POWER_ITERS if power_iters is None else power_iters
 
-    # Fixed test matrix: deterministic per shape (reproducible programs; no
-    # per-call host RNG round trips).  A real Gaussian samples both complex
-    # planes of A's row space.
+    # Deterministic test matrices (reproducible programs; no per-call host
+    # RNG round trips), drawn INDEPENDENTLY per batch element: HMT failure
+    # bounds are per-draw, so a shared Omega would make any poorly-aligned
+    # draw fail systematically across all pair matrices of a half-layer
+    # (and across optimizer iterations, whose matrices evolve slowly).  A
+    # real Gaussian samples both complex planes of A's row space.
     key = jax.random.PRNGKey(0x5EED ^ (n << 8) ^ ell)
-    omega = jax.random.normal(key, (n, ell), jnp.float32).astype(a.dtype)
+    omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(a.dtype)
 
-    y = _orth(jnp.einsum("...ij,jk->...ik", a, omega))
+    y = _orth(jnp.einsum("...ij,...jk->...ik", a, omega))
     ah = jnp.conj(jnp.swapaxes(a, -1, -2))
     for _ in range(q_iters):
         z = _orth(jnp.einsum("...ij,...jk->...ik", ah, y))
@@ -136,19 +137,8 @@ def rand_svd_top_k(
     # Row j of W is (s_j * u_j)^T of M = B^H: s = row norms; the rows of
     # conj(W)/s are U_M^H = Vh_B — the right factor of A, already
     # orthonormal to the kernel's residual (no recovery matmul needed).
-    s = jnp.sqrt(jnp.sum(w_re * w_re + w_im * w_im, axis=-1))  # (B, l)
-    w = (w_re + 1j * w_im).astype(cdtype)
-
-    order = jnp.argsort(-s, axis=-1)[..., :k]
-    s = jnp.take_along_axis(s, order, axis=-1)
-    w = jnp.take_along_axis(w, order[..., :, None], axis=-2)
-
-    # Same noise-direction guard as the plain kernel (see pallas_jacobi):
-    # below-floor rows are rotation/projection residue — zero them.
-    s_floor = (32.0 * _EPS32) * s[..., :1]
-    keep = s > s_floor
-    s = jnp.where(keep, s, 0.0)
-    inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
+    # Sort + noise-direction guard shared with the plain kernel path.
+    w, s, inv = _sort_guard_top_k(w_re, w_im, k, cdtype)
 
     vh = jnp.conj(w) * inv[..., :, None].astype(cdtype)  # (B, k, n)
     # Left factor recovered on the MXU: u = A vh^H diag(1/s) — the mirror
