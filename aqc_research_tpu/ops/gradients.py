@@ -147,6 +147,10 @@ def _dot_product_gradient(
 ) -> jax.Array:
     from .statevector import structure_period
 
+    # One application of V only — the value engines loop circuit_power
+    # times, so power > 1 would silently give a mismatched gradient (the
+    # reference pins power == 1: parametric_circuit.py:136-141).
+    assert circ.circuit_power == 1, "analytic gradient requires circuit_power == 1"
     dtype = x.dtype
     nb = circ.num_blocks
     tpb = circ.tpb

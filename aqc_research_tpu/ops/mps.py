@@ -170,7 +170,9 @@ def apply_1q_many(mps: MPS, gates: jax.Array, sites: Tuple[int, ...]) -> MPS:
 
 def _safe_inv(lam: jax.Array, cutoff: float = 1e-12) -> jax.Array:
     scale = jnp.max(lam, axis=-1, keepdims=True)
-    thr = cutoff * jnp.maximum(scale, 1e-300)
+    # dtype-aware floor: a literal like 1e-300 underflows to 0 in f32,
+    # killing the guard in the production (fast-precision) path.
+    thr = cutoff * jnp.maximum(scale, jnp.finfo(lam.dtype).tiny)
     return jnp.where(lam > thr, 1.0 / jnp.where(lam > thr, lam, 1.0), 0.0)
 
 
@@ -385,7 +387,10 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
 
     s_kept = jnp.where(mask, s, 0.0)
     kept_norm = jnp.sqrt(jnp.sum(s_kept * s_kept, axis=-1))
-    s_kept = s_kept * (total / jnp.maximum(kept_norm, 1e-300))[..., None]
+    # finfo.tiny, not a literal: 1e-300 underflows to 0 in the f32
+    # production path, making a zero kept_norm yield NaN lambdas (0/0).
+    floor = jnp.finfo(s_kept.dtype).tiny
+    s_kept = s_kept * (total / jnp.maximum(kept_norm, floor))[..., None]
     new_lam = s_kept.astype(rdtype)
 
     u = jnp.where(mask[..., None, :], u, 0.0)
@@ -452,7 +457,11 @@ def apply_pairs_mps(
     return MPS(gammas, lambdas)
 
 
+@partial(jax.jit, static_argnums=0)
 def _swap_gate(dtype):
+    # jitted so the complex constant is BORN inside jit: apply_2q_any_mps is
+    # public API and may be called eagerly, where an eager complex zeros()
+    # would be a lazily-invalid buffer on the axon backend (CLAUDE.md).
     sw = jnp.zeros((4, 4), dtype)
     return sw.at[0, 0].set(1).at[3, 3].set(1).at[1, 2].set(1).at[2, 1].set(1)
 

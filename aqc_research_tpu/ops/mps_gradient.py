@@ -457,7 +457,11 @@ def _layered_plan(circ: Ansatz):
         used.add(lo)
     if current:
         groups.append(current)
-    return groups
+    # apply_pairs_mps requires ascending disjoint los; a valid layout may
+    # list a layer's triplets in any order (check_block_layout does not
+    # constrain it).  Triplets within a half-layer commute, and the true
+    # triplet index t rides along for the theta/dots indexing.
+    return [sorted(g, key=lambda tl: tl[1]) for g in groups]
 
 
 def _cx_lo_hi(ctrl_is_hi: bool, dtype):
@@ -1139,6 +1143,24 @@ def _fast_dot_gradient_layered_plain(
     return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
 
 
+def _check_grow_w_contract(grow_w: bool, lvec: MPS) -> None:
+    """grow_w truncates ``lvec`` to chi=1 (mps_resize), which is exact ONLY
+    for a rank-1 product state with all bond weight at index 0 — anything
+    else silently discards amplitude and corrupts the gradient.  Validate
+    eagerly when the arrays are concrete (under jit tracing the caller owns
+    the contract; the production drivers pass basis/Neel product states)."""
+    if not grow_w:
+        return
+    lam = lvec.lambdas
+    if isinstance(lam, jax.core.Tracer):
+        return
+    if np.any(np.asarray(lam)[:, 1:] != 0):
+        raise ValueError(
+            "grow_w=True requires a chi=1 product-state lvec "
+            "(all bond spectra confined to index 0)"
+        )
+
+
 def fast_dot_gradient(
     circ: Ansatz,
     thetas,
@@ -1164,6 +1186,13 @@ def fast_dot_gradient(
     (including non-nearest-neighbour layouts, via the swap network) uses the
     sequential env-cached sweep.
     """
+    # The analytic co-sweep differentiates ONE application of V; the value
+    # engines loop circuit_power times, so accepting power > 1 here would
+    # silently return the gradient of a different function (the reference
+    # pins power == 1 too: parametric_circuit.py:136-141 "experimental,
+    # must be equal to 1 for now").
+    assert circ.circuit_power == 1, "analytic gradient requires circuit_power == 1"
+    _check_grow_w_contract(grow_w, lvec)
     block_range = (0, circ.num_blocks) if block_range is None else tuple(block_range)
     assert 0 <= block_range[0] < block_range[1] <= circ.num_blocks
     if z_layers is not None and _layered_eligible(circ):
@@ -1216,6 +1245,8 @@ def fast_dot_gradient_with_state(
     ``value`` path (models/sp_lhs/jit_asp.py).  Requires the layered
     Trotter path (``v_dagger_layer_cache_eligible``)."""
     assert _layered_eligible(circ)
+    assert circ.circuit_power == 1, "analytic gradient requires circuit_power == 1"
+    _check_grow_w_contract(grow_w, lvec)
     return _fast_dot_gradient_layered_zcache(
         circ,
         jnp.asarray(thetas),

@@ -38,7 +38,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.mps import MPS, _pair_update, no_truncation_threshold
@@ -55,8 +55,11 @@ def apply_pairs_mps_sharded(
 ) -> MPS:
     """Like ops.mps.apply_pairs_mps, but the pair batch is explicitly sharded
     over ``mesh`` axis ``axis`` with shard_map (pad-to-multiple by repeating
-    the last pair with its real gate — duplicates compute identical results,
-    so the duplicate scatter-back is well-defined).
+    the last pair with its real gate; only the original pairs are scattered
+    back — duplicate results are NOT guaranteed bitwise-identical across
+    devices, because the Jacobi kernel's adaptive while_loop is shared per
+    chunk and the duplicates land in different chunk compositions, and a
+    duplicate-index scatter would then mix gauge-inconsistent SVD factors).
 
     Call inside jit (or eagerly); the mesh is closed over statically.
     """
@@ -97,7 +100,7 @@ def apply_pairs_mps_sharded(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec, spec, spec),
         out_specs=(spec, spec, spec),
-        check_rep=False,
+        check_vma=False,
     )
     def local_update(ll, lc, lr, a, b, g):
         # Device-local: this block's run of pairs only (no collectives).
@@ -107,6 +110,10 @@ def apply_pairs_mps_sharded(
 
     # Scatter back into the replicated state: XLA exchanges exactly the
     # updated O(P·chi^2) slices (pinned in the collective-profile test).
-    gammas = mps.gammas.at[lo_pad].set(new_g1).at[lo_pad + 1].set(new_g2)
-    lambdas = mps.lambdas.at[lo_pad].set(new_lam)
+    # Only the ORIGINAL pairs — each duplicate index must have exactly one
+    # writer, and one (u, s, vh) triple must come from one SVD run.
+    keep = lo.size
+    new_g1, new_g2, new_lam = new_g1[:keep], new_g2[:keep], new_lam[:keep]
+    gammas = mps.gammas.at[lo].set(new_g1).at[lo + 1].set(new_g2)
+    lambdas = mps.lambdas.at[lo].set(new_lam)
     return MPS(gammas, lambdas)

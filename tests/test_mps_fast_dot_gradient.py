@@ -513,3 +513,63 @@ class TestChiGrowthScheduling:
             ).max()
             < 1e-12
         )
+
+
+class TestPermutedTripletOrder:
+    """A valid Trotter layout may list a layer's triplets in ANY order
+    (check_block_layout constrains triplet structure, not ordering).  The
+    layered gradient paths must sort each half-layer group's pair sites
+    before the batched pair update (regression: unsorted los tripped
+    apply_pairs_mps's disjointness assert at trace time)."""
+
+    @staticmethod
+    def _permuted_circuit(n, layers):
+        blocks = make_trotter_like_circuit(n, layers)
+        # Reverse the triplets within each layer (same circuit family, valid
+        # layout, non-ascending group los).
+        b = blocks.reshape(2, layers, n - 1, 3)[:, :, ::-1, :]
+        return TrotterAnsatz.make(n, b.reshape(2, -1).copy(), False)
+
+    def test_layered_gradient_permuted_layout(self):
+        n, layers = 6, 2
+        circ = self._permuted_circuit(n, layers)
+        from aqc_research_tpu.ops.mps_gradient import _layered_eligible
+
+        assert _layered_eligible(circ)
+        # The permuted layout's triplet sequence must genuinely be
+        # non-ascending (otherwise this test exercises nothing).
+        los_seq = [
+            min(int(circ.blocks[0, 3 * t]), int(circ.blocks[1, 3 * t]))
+            for t in range(circ.bpl // 3)
+        ]
+        assert los_seq != sorted(los_seq)
+
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+        phi = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        vh_phi = mpsop.v_dagger_mul_mps(circ, thetas, phi)
+        phi_dense = np.asarray(mpsop.mps_to_vector(phi))
+        vh_dense = np.asarray(v_dagger_mul_vec(circ, thetas, phi_dense))
+
+        x_dense, x_mps = _flip_state_pair(n, -1, chi)
+        g_mps = np.asarray(fast_dot_gradient(circ, thetas, x_mps, vh_phi))
+        g_dense = np.asarray(
+            grad_of_dot_product(circ, thetas, x_dense, vh_dense)
+        )
+        assert np.max(np.abs(g_mps - g_dense)) < 1e-10
+
+    def test_zcache_gradient_permuted_layout(self):
+        n, layers = 6, 2
+        circ = self._permuted_circuit(n, layers)
+        assert mpsop.v_dagger_layer_cache_eligible(circ)
+        thetas = rand_thetas(circ.num_thetas)
+        chi = 2**n
+        phi = mpsop.rand_mps_vec(n, num_layers=2, chi_max=chi)
+        vh_a = mpsop.v_dagger_mul_mps(circ, thetas, phi)
+        vh_b, cache = mpsop.v_dagger_mul_mps_layers(circ, thetas, phi)
+        _, lvec = _flip_state_pair(n, -1, chi)
+        g_ref = np.asarray(fast_dot_gradient(circ, thetas, lvec, vh_a))
+        g_cached = np.asarray(
+            fast_dot_gradient(circ, thetas, lvec, vh_b, z_layers=cache)
+        )
+        assert np.max(np.abs(g_cached - g_ref)) < 1e-12
