@@ -33,4 +33,12 @@ step "rand 20q fleet8"     python benchmarks/bench_mps.py 20 64 4 8 --svd-impl=r
 # are NOT safe evidence).
 step "jitloop 16q chi=64 jacobi" env AQC_TPU_SVD_IMPL=jacobi python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 step "jitloop 16q chi=64 rand"   env AQC_TPU_SVD_IMPL=rand   python benchmarks/probe_mps_jit_loop.py 16 64 2 15
+# Same-session jacobi baselines (the header numbers above are from an
+# earlier session; dispatch latency varies session to session).
+step "jacobi 20q init"      python benchmarks/bench_mps.py 20 64 4 1
+step "jacobi 20q perturbed" python benchmarks/bench_mps.py 20 64 4 1 --perturb=0.05
+step "jacobi 28q init"      python benchmarks/bench_mps.py 28 128 4 1
+step "jacobi 28q perturbed" python benchmarks/bench_mps.py 28 128 4 1 --perturb=0.05
+# Headline refresh in the same tunnel window.
+step "bench.py headline"    python bench.py
 echo "ALL DONE" >> "$LOG"
