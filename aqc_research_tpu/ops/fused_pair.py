@@ -86,31 +86,24 @@ def _dot_t(a, b):
     )
 
 
-def _fused_kernel_body(
-    chi: int,
-    max_sweeps: int,
-    thr2_ref,  # SMEM (1, 1): trunc_thr^2
-    gate_ref,  # SMEM (b_tot, 32) FULL array: gate4 flat re[0:16] | im[16:32]
-    a_re_ref, a_im_ref,  # VMEM (chunk, 2, chi, chi): lam-scaled g1^T planes
-    b_re_ref, b_im_ref,  # VMEM (chunk, 2, chi, chi): lam_r-scaled g2^T planes
-    ut_re_ref, ut_im_ref,  # out (chunk, chi, 2chi): u^T rows (masked, 1/s-scaled)
-    vh_re_ref, vh_im_ref,  # out (chunk, chi, 2chi): vh rows (masked)
-    lam_ref,  # out (chunk, 1, chi): truncated + rescaled singular values
-    w0_re, w0_im,  # scratch (chunk, 2chi, 2chi): theta^T (kept for vh)
+def _theta_build(
+    chi, gate_ref, a_re_ref, a_im_ref, b_re_ref, b_im_ref, w0_re, w0_im
 ):
-    chunk = a_re_ref.shape[0]
-    n = 2 * chi
-    # Mosaic constrains the last two dims of every BLOCK to be (8, 128)-
-    # divisible or full-size; an SMEM (chunk, 32) block violates that for
-    # ragged chunks, so the gate table rides in un-blocked and each program
-    # offsets by its grid position.
-    base = pl.program_id(0) * chunk
+    """theta build: W0 = theta^T assembled block-wise on the MXU.
 
-    # ---- 1. theta build: W0 = theta^T assembled block-wise on the MXU ----
-    # a[u][b, a'] = g1[u, a', b] lam_l[a'] lam_c[b];  bm[v][c, b] = g2[v, b, c]
-    # lam_r[c].  M_uv = bm[v] @ a[u] = theta0[u, v]^T (the two-site tensor
-    # before the gate); the gate mixes the 4 blocks:
-    #   W0[t*chi + c, s*chi + a'] = sum_uv gate[(s,t),(u,v)] M_uv[c, a'].
+    a[u][b, a'] = g1[u, a', b] lam_l[a'] lam_c[b];  bm[v][c, b] = g2[v, b, c]
+    lam_r[c].  M_uv = bm[v] @ a[u] = theta0[u, v]^T (the two-site tensor
+    before the gate); the gate mixes the 4 blocks:
+      W0[t*chi + c, s*chi + a'] = sum_uv gate[(s,t),(u,v)] M_uv[c, a'].
+
+    ``gate_ref`` is the FULL (b_tot, 32) SMEM table (Mosaic constrains the
+    last two dims of every BLOCK to be (8, 128)-divisible or full-size; an
+    SMEM (chunk, 32) block violates that for ragged chunks, so the table
+    rides in un-blocked and each program offsets by its grid position).
+    ``w0_*`` may be scratch or output refs of shape (chunk, 2chi, 2chi).
+    """
+    chunk = a_re_ref.shape[0]
+    base = pl.program_id(0) * chunk
     for i in range(chunk):
         m_re = {}
         m_im = {}
@@ -133,6 +126,25 @@ def _fused_kernel_body(
                         acc_im = acc_im + gr * m_im[u, v] + gi * m_re[u, v]
                 w0_re[i, t * chi:(t + 1) * chi, s * chi:(s + 1) * chi] = acc_re
                 w0_im[i, t * chi:(t + 1) * chi, s * chi:(s + 1) * chi] = acc_im
+
+
+def _fused_kernel_body(
+    chi: int,
+    max_sweeps: int,
+    thr2_ref,  # SMEM (1, 1): trunc_thr^2
+    gate_ref,  # SMEM (b_tot, 32) FULL array: gate4 flat re[0:16] | im[16:32]
+    a_re_ref, a_im_ref,  # VMEM (chunk, 2, chi, chi): lam-scaled g1^T planes
+    b_re_ref, b_im_ref,  # VMEM (chunk, 2, chi, chi): lam_r-scaled g2^T planes
+    ut_re_ref, ut_im_ref,  # out (chunk, chi, 2chi): u^T rows (masked, 1/s-scaled)
+    vh_re_ref, vh_im_ref,  # out (chunk, chi, 2chi): vh rows (masked)
+    lam_ref,  # out (chunk, 1, chi): truncated + rescaled singular values
+    w0_re, w0_im,  # scratch (chunk, 2chi, 2chi): theta^T (kept for vh)
+):
+    chunk = a_re_ref.shape[0]
+    n = 2 * chi
+
+    # ---- 1. theta build (shared with the pass-A kernel of fused_rand) ----
+    _theta_build(chi, gate_ref, a_re_ref, a_im_ref, b_re_ref, b_im_ref, w0_re, w0_im)
 
     # ---- 2. adaptive Jacobi sweeps (shared loop, identical criterion) ----
     wl_re, wl_im, wr_re, wr_im = _adaptive_seat_sweeps(
@@ -254,17 +266,10 @@ def _fused_pair_raw(
     )(thr2_arr, gate_planes, a_re, a_im, b_re, b_im)
 
 
-def fused_pair_update(
-    lam_l, lam_c, lam_r, g1, g2, gate4, chi: int, trunc_thr: float,
-    dtype, rdtype, sweeps: int,
-):
-    """Drop-in fused computation of the body of ops.mps._pair_update.
-
-    Same contract: ``lam_*`` (..., chi) real, ``g1/g2`` (..., 2, chi, chi)
-    complex, ``gate4`` (..., 4, 4); returns (new_g1, new_g2, new_lam).
-    f32/c64 only; ``trunc_thr`` must be a concrete float (it is a static
-    jit argument everywhere in the MPS layer).
-    """
+def _prep_planes(lam_l, lam_c, lam_r, g1, g2, gate4, chi: int, dtype):
+    """Flattens the batch and builds the kernel input planes: lam-scaled
+    transposed g1/g2 re/im f32 planes + the flat gate table (one fused XLA
+    pass each).  Shared by the fused pair kernel and fused_rand's pass A."""
     batch_shape = g1.shape[:-3]
     b_count = int(np.prod(batch_shape)) if batch_shape else 1
     g1f = g1.reshape((b_count, 2, chi, chi))
@@ -276,7 +281,6 @@ def fused_pair_update(
         jnp.asarray(gate4, dtype), batch_shape + (4, 4)
     ).reshape((b_count, 4, 4))
 
-    # lam-scaled transposed planes (one fused XLA pass each).
     a = (
         jnp.swapaxes(g1f, -1, -2)
         * lc[:, None, :, None].astype(dtype)
@@ -294,6 +298,67 @@ def fused_pair_update(
         ],
         axis=-1,
     ).astype(jnp.float32)
+    return batch_shape, b_count, ll, lr, a_re, a_im, b_re, b_im, gate_planes
+
+
+def _theta_kernel_body(
+    chi: int,
+    gate_ref, a_re_ref, a_im_ref, b_re_ref, b_im_ref,
+    w0_re_ref, w0_im_ref,  # out (chunk, 2chi, 2chi): theta^T planes
+):
+    _theta_build(
+        chi, gate_ref, a_re_ref, a_im_ref, b_re_ref, b_im_ref,
+        w0_re_ref, w0_im_ref,
+    )
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def theta_build_raw(gate_planes, a_re, a_im, b_re, b_im, chi: int, chunk: int):
+    """Pass-A kernel of the fused_rand route: the gated two-site theta^T
+    planes, built in VMEM exactly as the fused pair kernel's step 1 (same
+    code).  Inputs are the padded ``_prep_planes`` outputs; returns
+    (w0_re, w0_im) of shape (b_tot, 2chi, 2chi)."""
+    b_tot = a_re.shape[0]
+    assert b_tot % chunk == 0
+    n = 2 * chi
+    kernel = partial(_theta_kernel_body, chi)
+    vspec4 = pl.BlockSpec(
+        (chunk, 2, chi, chi), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_nn = jax.ShapeDtypeStruct((b_tot, n, n), jnp.float32)
+    spec_nn = pl.BlockSpec(
+        (chunk, n, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return pl.pallas_call(
+        kernel,
+        grid=(b_tot // chunk,),
+        out_shape=(out_nn, out_nn),
+        in_specs=[
+            pl.BlockSpec(
+                (b_tot, 32), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            vspec4, vspec4, vspec4, vspec4,
+        ],
+        out_specs=(spec_nn, spec_nn),
+        interpret=interpret,
+    )(gate_planes, a_re, a_im, b_re, b_im)
+
+
+def fused_pair_update(
+    lam_l, lam_c, lam_r, g1, g2, gate4, chi: int, trunc_thr: float,
+    dtype, rdtype, sweeps: int,
+):
+    """Drop-in fused computation of the body of ops.mps._pair_update.
+
+    Same contract: ``lam_*`` (..., chi) real, ``g1/g2`` (..., 2, chi, chi)
+    complex, ``gate4`` (..., 4, 4); returns (new_g1, new_g2, new_lam).
+    f32/c64 only; ``trunc_thr`` must be a concrete float (it is a static
+    jit argument everywhere in the MPS layer).
+    """
+    batch_shape, b_count, ll, lr, a_re, a_im, b_re, b_im, gate_planes = (
+        _prep_planes(lam_l, lam_c, lam_r, g1, g2, gate4, chi, dtype)
+    )
     thr2_arr = jnp.full((1, 1), float(trunc_thr) ** 2, jnp.float32)
 
     chunk = _pick_chunk(b_count, chi)

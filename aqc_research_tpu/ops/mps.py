@@ -380,6 +380,29 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
             dtype, rdtype, jacobi_sweeps() or DEFAULT_SWEEPS,
         )
 
+    if (
+        fused_pair_enabled(chi)
+        and svd_impl() == "rand"
+        and chi >= 8
+        and chi % 8 == 0
+        and jnp.dtype(dtype) == jnp.complex64
+        and isinstance(trunc_thr, (int, float))
+    ):
+        # Fused-rand route: fused theta build + XLA range-finder + fused
+        # reduced Jacobi/truncation (ops/fused_rand) — only where the
+        # projection pays (module attr read so tests can monkeypatch it).
+        from ..config import jacobi_sweeps
+        from . import rand_svd
+        from .jacobi_svd import DEFAULT_SWEEPS
+
+        if 2 * chi >= rand_svd.RAND_MIN_N:
+            from .fused_rand import fused_rand_pair_update
+
+            return fused_rand_pair_update(
+                lam_l, lam_c, lam_r, g1, g2, gate4, chi, float(trunc_thr),
+                dtype, rdtype, jacobi_sweeps() or DEFAULT_SWEEPS,
+            )
+
     m = _pair_theta(lam_l, lam_c, lam_r, g1, g2, gate4, chi, dtype)
     batch_shape = m.shape[:-2]
 

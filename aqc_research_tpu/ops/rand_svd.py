@@ -78,6 +78,36 @@ def _orth(y: jax.Array) -> jax.Array:
     return jnp.linalg.qr(y, mode="reduced")[0]
 
 
+def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
+    """HMT range-finder + projection: returns B = Q^H A of shape (B, l, n)
+    for ``a`` (B, n, n) complex, where Q is an orthonormal basis of the
+    sketched (power-iterated) range of A.  Shared by :func:`rand_svd_top_k`
+    and the fused_rand pair-update route (ops/fused_rand.py)."""
+    b, n = a.shape[0], a.shape[-1]
+    # Deterministic test matrices (reproducible programs; no per-call host
+    # RNG round trips), drawn INDEPENDENTLY per batch element: HMT failure
+    # bounds are per-draw, so a shared Omega would make any poorly-aligned
+    # draw fail systematically across all pair matrices of a half-layer
+    # (and across optimizer iterations, whose matrices evolve slowly).  A
+    # real Gaussian samples both complex planes of A's row space.
+    key = jax.random.PRNGKey(0x5EED ^ (n << 8) ^ ell)
+    omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(a.dtype)
+
+    y = _orth(jnp.einsum("...ij,...jk->...ik", a, omega))
+    ah = jnp.conj(jnp.swapaxes(a, -1, -2))
+    for _ in range(q_iters):
+        z = _orth(jnp.einsum("...ij,...jk->...ik", ah, y))
+        y = _orth(jnp.einsum("...ij,...jk->...ik", a, z))
+    return jnp.einsum("...ji,...jk->...ik", jnp.conj(y), a)  # (B, l, n)
+
+
+def rand_ell(n: int, k: int, oversample: int | None = None) -> int:
+    """The sketch width l = k + oversample, clamped to n and rounded up to
+    even (the Jacobi kernel's seats pair the columns)."""
+    ell = min(n, k + (_OVERSAMPLE if oversample is None else oversample))
+    return ell + ell % 2
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def rand_svd_top_k(
     m: jax.Array,
@@ -100,26 +130,9 @@ def rand_svd_top_k(
     cdtype = m.dtype if jnp.iscomplexobj(m) else jnp.complex64
     a = m.reshape((-1, n, n)).astype(jnp.complex64)
     b = a.shape[0]
-    ell = min(n, k + (_OVERSAMPLE if oversample is None else oversample))
-    ell += ell % 2  # kernel seats pair the columns
+    ell = rand_ell(n, k, oversample)
     q_iters = _POWER_ITERS if power_iters is None else power_iters
-
-    # Deterministic test matrices (reproducible programs; no per-call host
-    # RNG round trips), drawn INDEPENDENTLY per batch element: HMT failure
-    # bounds are per-draw, so a shared Omega would make any poorly-aligned
-    # draw fail systematically across all pair matrices of a half-layer
-    # (and across optimizer iterations, whose matrices evolve slowly).  A
-    # real Gaussian samples both complex planes of A's row space.
-    key = jax.random.PRNGKey(0x5EED ^ (n << 8) ^ ell)
-    omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(a.dtype)
-
-    y = _orth(jnp.einsum("...ij,...jk->...ik", a, omega))
-    ah = jnp.conj(jnp.swapaxes(a, -1, -2))
-    for _ in range(q_iters):
-        z = _orth(jnp.einsum("...ij,...jk->...ik", ah, y))
-        y = _orth(jnp.einsum("...ij,...jk->...ik", a, z))
-    q = y
-    bm = jnp.einsum("...ji,...jk->...ik", jnp.conj(q), a)  # (B, l, n)
+    bm = _range_project(a, ell, q_iters)  # (B, l, n)
 
     # Reduced one-sided Jacobi on M = B^H (n x l): the kernel's transposed
     # working layout (row j = column j of M) is exactly conj(bm) — l rows

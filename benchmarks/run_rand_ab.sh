@@ -22,8 +22,15 @@ step() {
 
 step "rand 20q init"       python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand
 step "rand 20q perturbed"  python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
-step "rand 28q init"       python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand
-step "rand 28q perturbed"  python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
+# At 28q chi=128 the fused-pair auto policy (chi >= 96) routes rand through
+# the fused-rand megakernel (ops/fused_rand.py); measure both routes.
+step "fusedrand 28q init"      python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand
+step "fusedrand 28q perturbed" python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
+step "rand-nofuse 28q init"      env AQC_TPU_FUSED_PAIR=0 python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand
+step "rand-nofuse 28q perturbed" env AQC_TPU_FUSED_PAIR=0 python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
+# Fused-rand at the 20q shape (fused auto is off below chi=96; force it).
+step "fusedrand 20q init"      env AQC_TPU_FUSED_PAIR=1 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand
+step "fusedrand 20q perturbed" env AQC_TPU_FUSED_PAIR=1 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
 # Fleet: decompositions are flops-bound (RESULTS), so halving per-matrix
 # flops may finally lift the 8-start amortization past the 4x target
 # (round-3 plateau: 3.93x, aggregate 21.82 sweeps/s at 20q).
@@ -33,6 +40,7 @@ step "rand 20q fleet8"     python benchmarks/bench_mps.py 20 64 4 8 --svd-impl=r
 # are NOT safe evidence).
 step "jitloop 16q chi=64 jacobi" env AQC_TPU_SVD_IMPL=jacobi python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 step "jitloop 16q chi=64 rand"   env AQC_TPU_SVD_IMPL=rand   python benchmarks/probe_mps_jit_loop.py 16 64 2 15
+step "jitloop 16q chi=64 fusedrand" env AQC_TPU_SVD_IMPL=rand AQC_TPU_FUSED_PAIR=1 python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 # Same-session jacobi baselines (the header numbers above are from an
 # earlier session; dispatch latency varies session to session).
 step "jacobi 20q init"      python benchmarks/bench_mps.py 20 64 4 1
