@@ -96,15 +96,50 @@ def pair_update_matmul_flops(chi: int, batch: int) -> float:
     return 64.0 * chi**3 * batch
 
 
-def sweep_flops(census, sweeps_by_stage):
+def _rand_active(n: int, impl: str) -> bool:
+    if impl != "rand":
+        return False
+    from .rand_svd import RAND_MIN_N
+
+    return n >= RAND_MIN_N
+
+
+def kernel_flops_for(n: int, sweeps: float, batch: int, impl: str) -> float:
+    """VPU kernel flops per batched decomposition under ``impl``: the plain
+    kernel orthogonalizes n columns of length n ((n-1) phases); the rand
+    impl runs the SAME kernel on the projected (l, n) problem — l columns
+    of length n, (l-1) phases (ops/rand_svd.py)."""
+    if not _rand_active(n, impl):
+        return jacobi_kernel_flops(n, sweeps, batch)
+    from .rand_svd import rand_ell
+
+    ell = rand_ell(n, n // 2)
+    return 18.0 * ell * n * (ell - 1) * float(sweeps) * batch
+
+
+def matmul_flops_for(n: int, batch: int, impl: str) -> float:
+    """MXU flops per batched pair update under ``impl``.  The rand impl
+    swaps the vh recovery for a u recovery of the same cost and ADDS the
+    range-finder: sketch + 1 power iteration (3 matmuls ~ 8 n^2 l each) and
+    3 Householder QRs (~16 n l^2 each, complex)."""
+    chi = n // 2
+    if not _rand_active(n, impl):
+        return pair_update_matmul_flops(chi, batch)
+    from .rand_svd import rand_ell
+
+    ell = rand_ell(n, chi)
+    return (64.0 * chi**3 + 24.0 * n * n * ell + 48.0 * n * ell * ell) * batch
+
+
+def sweep_flops(census, sweeps_by_stage, impl: str = "jacobi"):
     """(vpu_flops, mxu_flops) of one obj+grad sweep + one value sweep given
     per-stage mean adaptive sweep counts ``sweeps_by_stage[stage]``."""
     vpu = mxu = 0.0
     for stage, phases in census.items():
         s = float(sweeps_by_stage[stage])
         for b, n in phases:
-            vpu += jacobi_kernel_flops(n, s, b)
-            mxu += pair_update_matmul_flops(n // 2, b)
+            vpu += kernel_flops_for(n, s, b, impl)
+            mxu += matmul_flops_for(n, b, impl)
     return vpu, mxu
 
 
@@ -212,11 +247,13 @@ def roofline_report(
     sweeps_by_stage: Dict[str, float],
     attainable: Dict[str, float],
     census,
+    impl: str = "jacobi",
 ) -> str:
     """Markdown roofline table for one (obj+grad [+ value]) sweep."""
     vpu_f = mxu_f = 0.0
     lines = [
-        f"### Roofline: {num_qubits}q chi={chi}, {layers}-layer Trotter ansatz",
+        f"### Roofline: {num_qubits}q chi={chi}, {layers}-layer Trotter "
+        f"ansatz (svd impl: {impl})",
         "",
         "Decomposition phases per obj+grad sweep, as (batch, matrix_n) — "
         "the grad/value heads run at growing χ (χ-growth scheduling):",
@@ -231,8 +268,8 @@ def roofline_report(
     ]
     for stage, phases in census.items():
         s = float(sweeps_by_stage[stage])
-        v = sum(jacobi_kernel_flops(n, s, b) for b, n in phases)
-        x = sum(pair_update_matmul_flops(n // 2, b) for b, n in phases)
+        v = sum(kernel_flops_for(n, s, b, impl) for b, n in phases)
+        x = sum(matmul_flops_for(n, b, impl) for b, n in phases)
         vpu_f += v
         mxu_f += x
         lines.append(
@@ -243,7 +280,7 @@ def roofline_report(
     # The measured sweep covers the obj+grad stages (vdag + grad); the
     # value stage (linesearch trials) is accounted separately.
     og = {k: v for k, v in census.items() if k in ("vdag", "grad")}
-    vpu_og, mxu_og = sweep_flops(og, sweeps_by_stage)
+    vpu_og, mxu_og = sweep_flops(og, sweeps_by_stage, impl)
     t_vpu = vpu_og / (attainable["vpu_gflops"] * 1e9)
     t_mxu = mxu_og / (attainable["mxu_gflops"] * 1e9)
     hbm_bytes = sweep_hbm_bytes(og)
@@ -431,9 +468,12 @@ def main(num_qubits=20, chi=64, layers=4):
     census = decomposition_census(circ, chi, grow=True)
     sweeps_by_stage = {k: stats[k]["mean"] for k in census}
     print()
+    from ..config import svd_impl
+
     print(
         roofline_report(
-            num_qubits, chi, layers, measured, sweeps_by_stage, att, census
+            num_qubits, chi, layers, measured, sweeps_by_stage, att, census,
+            impl=svd_impl(),
         )
     )
 
