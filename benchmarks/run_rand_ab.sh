@@ -47,6 +47,8 @@ step "jacobi 20q init"      python benchmarks/bench_mps.py 20 64 4 1
 step "jacobi 20q perturbed" python benchmarks/bench_mps.py 20 64 4 1 --perturb=0.05
 step "jacobi 28q init"      python benchmarks/bench_mps.py 28 128 4 1
 step "jacobi 28q perturbed" python benchmarks/bench_mps.py 28 128 4 1 --perturb=0.05
+# Rand roofline: measured rand sweep + the model's reduced-problem bound.
+step "roofline 20q rand"    env AQC_TPU_SVD_IMPL=rand python -m aqc_research_tpu.ops.roofline 20 64 4
 # Headline refresh in the same tunnel window.
 step "bench.py headline"    python bench.py
 echo "ALL DONE" >> "$LOG"
