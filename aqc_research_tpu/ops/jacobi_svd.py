@@ -214,11 +214,15 @@ def jacobi_sweeps_used(
     measurement behind the roofline's FLOP accounting (the Pallas kernel runs
     the identical schedule/tolerance, so this pure-XLA count transfers).
 
-    ``m``: (..., n, n); returns an i32 scalar per batch element... no —
-    the adaptive loop is shared across the batch (one while_loop), so ONE
-    scalar is returned: the sweep count the whole batch pays."""
+    ``m``: (..., rows, n) — n columns of length rows being orthogonalized
+    (square for the plain kernel; the randomized-projection path counts on
+    the reduced (n_full, l) problem).  Returns an i32 scalar per batch
+    element... no — the adaptive loop is shared across the batch (one
+    while_loop), so ONE scalar is returned: the count the whole batch pays.
+    One sweep is n-1 phases — a full round-robin tour of the n COLUMNS
+    (lane/row count does not enter the schedule)."""
     n = m.shape[-1]
-    assert m.shape[-2] == n and n % 2 == 0
+    assert n % 2 == 0
     p = n // 2
     dtype = m.dtype
     rdtype = jnp.finfo(dtype).dtype

@@ -80,7 +80,10 @@ def capture_stage_mats(circ, thetas, target, bits, trunc_thr):
     return stages
 
 
-def main(num_qubits=20, chi=64, layers=4, perturb=0.05, both=False):
+RAND_MIN_N_PROBE = 32  # count reduced problems from this size up
+
+
+def main(num_qubits=20, chi=64, layers=4, perturb=0.05, both=False, rand=False):
     trunc_thr = 1e-6
     circ = TrotterAnsatz.make(
         num_qubits, make_trotter_like_circuit(num_qubits, layers), True
@@ -104,31 +107,53 @@ def main(num_qubits=20, chi=64, layers=4, perturb=0.05, both=False):
 
     stages = capture_stage_mats(circ, thetas, target, bits, trunc_thr)
     criteria = ("entry", "relative") if both else ("entry",)
+    variants = ("full", "reduced") if rand else ("full",)
     for stage, mats in stages.items():
         for crit in criteria:
-            means, maxima = [], []
-            for m in mats:
-                mb = jnp.asarray(m.reshape((-1,) + m.shape[-2:]))
-                ks = np.asarray(
-                    jax.vmap(lambda x: jacobi_sweeps_used(x, 12, crit))(mb)
+            for variant in variants:
+                means, maxima = [], []
+                for m in mats:
+                    mb = jnp.asarray(m.reshape((-1,) + m.shape[-2:]))
+                    if variant == "reduced":
+                        # The rand path's problem: count on B^H = the
+                        # (n, l) projection (junk tail removed), only at
+                        # shapes where the rand impl activates.
+                        from aqc_research_tpu.ops.rand_svd import (
+                            _range_project,
+                            rand_ell,
+                        )
+
+                        n = mb.shape[-1]
+                        if n < RAND_MIN_N_PROBE:
+                            continue
+                        bm = _range_project(
+                            mb, rand_ell(n, n // 2), 1
+                        )
+                        mb = jnp.conj(jnp.swapaxes(bm, -1, -2))
+                    ks = np.asarray(
+                        jax.vmap(lambda x: jacobi_sweeps_used(x, 12, crit))(mb)
+                    )
+                    means.extend(ks.tolist())
+                    maxima.append(int(ks.max()))
+                if not means:
+                    continue
+                print(
+                    f"{num_qubits}q chi={chi} perturb={perturb} {stage} "
+                    f"[{crit}/{variant}]: per-matrix mean "
+                    f"{np.mean(means):.2f} max {np.max(means)}; "
+                    f"phase maxima {maxima} (mean {np.mean(maxima):.2f})",
+                    flush=True,
                 )
-                means.extend(ks.tolist())
-                maxima.append(int(ks.max()))
-            print(
-                f"{num_qubits}q chi={chi} perturb={perturb} {stage} "
-                f"[{crit}]: per-matrix mean {np.mean(means):.2f} max "
-                f"{np.max(means)}; phase maxima {maxima} "
-                f"(mean {np.mean(maxima):.2f})",
-                flush=True,
-            )
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--both-criteria"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     both = "--both-criteria" in sys.argv[1:]
+    rand = "--rand" in sys.argv[1:]
     vals = [float(a) for a in args[:4]]
     main(
         *(int(v) for v in vals[:3]),
         *( [vals[3]] if len(vals) > 3 else [] ),
         both=both,
+        rand=rand,
     )
