@@ -161,6 +161,65 @@ class TestShardedMps:
             atol=1e-10,
         )
 
+    def test_sharded_pair_updates_fused_kernels(self):
+        """The fused Pallas routes (fused_pair / fused_rand) compose with
+        the explicit shard_map engine: the device-local _pair_update calls
+        route into a pallas_call per shard (interpret mode here — the same
+        program structure the TPU compiles).  Parity vs the UNSHARDED
+        native-impl reference on the physical state (gauge-free)."""
+        from aqc_research_tpu.config import (
+            set_fused_pair,
+            set_precision,
+            set_svd_impl,
+        )
+        from aqc_research_tpu.ops import rand_svd
+        from aqc_research_tpu.ops.mps import apply_pairs_mps, rand_mps_vec
+        from aqc_research_tpu.parallel.mps_sharded import apply_pairs_mps_sharded
+        from aqc_research_tpu.circuit import gates as G
+
+        np.random.seed(7)
+        set_precision("fast")  # the fused paths are c64-only by design
+        saved_min_n = rand_svd.RAND_MIN_N
+        try:
+            n, chi = 6, 16
+            mps = rand_mps_vec(n, num_layers=2, chi_max=chi)
+            los = (0, 2, 4)  # 3 pairs -> pads to 4 on a 4-device axis
+            rng = np.random.default_rng(11)
+            gates = []
+            for _ in los:
+                g = np.kron(
+                    np.asarray(G.np_ry(rng.uniform(-3, 3))),
+                    np.asarray(G.np_rz(rng.uniform(-3, 3))),
+                )
+                gates.append(np.asarray(G.controlled(G.np_x())) @ g)
+            gates = jnp.asarray(np.stack(gates).astype(np.complex64))
+
+            set_svd_impl("native")
+            jax.clear_caches()
+            ref = np.asarray(
+                mps_to_vector(apply_pairs_mps(mps, gates, los, trunc_thr=1e-6))
+            )
+
+            mesh = make_mesh((1, min(4, len(jax.devices()))), ("dp", "tp"))
+            rand_svd.RAND_MIN_N = 2 * chi  # activate rand at this test size
+            for impl in ("jacobi", "rand"):
+                set_svd_impl(impl)
+                set_fused_pair(True)
+                jax.clear_caches()
+                got = apply_pairs_mps_sharded(
+                    mps, gates, los, mesh, trunc_thr=1e-6
+                )
+                np.testing.assert_allclose(
+                    np.asarray(mps_to_vector(got)), ref, atol=5e-5,
+                    err_msg=f"sharded fused impl={impl}",
+                )
+        finally:
+            rand_svd.RAND_MIN_N = saved_min_n
+            set_fused_pair(None)
+            set_svd_impl(None)
+            set_precision("high")
+            jax.clear_caches()
+
     def test_sharded_pad_multiple_duplicates(self):
         """2 pairs on a 4-device axis -> 2 duplicate pad entries."""
         from aqc_research_tpu.ops.mps import apply_pairs_mps, rand_mps_vec
