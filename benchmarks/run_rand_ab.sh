@@ -31,6 +31,13 @@ step "rand-nofuse 28q perturbed" env AQC_TPU_FUSED_PAIR=0 python benchmarks/benc
 # Fused-rand at the 20q shape (fused auto is off below chi=96; force it).
 step "fusedrand 20q init"      env AQC_TPU_FUSED_PAIR=1 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand
 step "fusedrand 20q perturbed" env AQC_TPU_FUSED_PAIR=1 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
+# power_iters=0 drops 2 of the 3 Householder QRs; accuracy-validated on
+# real matrices (probe_rand_real_mats with q=0: leak 1.4e-11/1.8e-11 —
+# still 10-20x better than the plain kernel, sigma err 2.3e-6).
+step "rand-q0 20q init"        env AQC_TPU_RAND_POWER_ITERS=0 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand
+step "rand-q0 20q perturbed"   env AQC_TPU_RAND_POWER_ITERS=0 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
+step "fusedrand-q0 28q init"      env AQC_TPU_RAND_POWER_ITERS=0 python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand
+step "fusedrand-q0 28q perturbed" env AQC_TPU_RAND_POWER_ITERS=0 python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
 # Fleet: decompositions are flops-bound (RESULTS), so halving per-matrix
 # flops may finally lift the 8-start amortization past the 4x target
 # (round-3 plateau: 3.93x, aggregate 21.82 sweeps/s at 20q).
@@ -41,6 +48,7 @@ step "rand 20q fleet8"     python benchmarks/bench_mps.py 20 64 4 8 --svd-impl=r
 step "jitloop 16q chi=64 jacobi" env AQC_TPU_SVD_IMPL=jacobi python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 step "jitloop 16q chi=64 rand"   env AQC_TPU_SVD_IMPL=rand   python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 step "jitloop 16q chi=64 fusedrand" env AQC_TPU_SVD_IMPL=rand AQC_TPU_FUSED_PAIR=1 python benchmarks/probe_mps_jit_loop.py 16 64 2 15
+step "jitloop 16q chi=64 rand-q0"   env AQC_TPU_SVD_IMPL=rand AQC_TPU_RAND_POWER_ITERS=0 python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 # Same-session jacobi baselines (the header numbers above are from an
 # earlier session; dispatch latency varies session to session).
 step "jacobi 20q init"      python benchmarks/bench_mps.py 20 64 4 1
