@@ -119,6 +119,7 @@ def main(num_qubits=20, chi=64, layers=4, perturb=0.05, both=False, rand=False):
                         # (n, l) projection (junk tail removed), only at
                         # shapes where the rand impl activates.
                         from aqc_research_tpu.ops.rand_svd import (
+                            _POWER_ITERS,
                             _range_project,
                             rand_ell,
                         )
@@ -127,7 +128,7 @@ def main(num_qubits=20, chi=64, layers=4, perturb=0.05, both=False, rand=False):
                         if n < RAND_MIN_N_PROBE:
                             continue
                         bm = _range_project(
-                            mb, rand_ell(n, n // 2), 1
+                            mb, rand_ell(n, n // 2), _POWER_ITERS
                         )
                         mb = jnp.conj(jnp.swapaxes(bm, -1, -2))
                     ks = np.asarray(
