@@ -59,6 +59,14 @@ _OVERSAMPLE = int(os.environ.get("AQC_TPU_RAND_OVERSAMPLE", "16"))
 # Subspace-sharpening power iterations (Y <- A A^H Y with re-orthonormal-
 # ization).  1 is the measured-safe default on the graded pair spectra.
 _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
+# Intermediate stabilization inside the power iteration: "qr" (full
+# Householder re-orthonormalization, the HMT textbook form) or "colnorm"
+# (column normalization only — one cheap reduction instead of a QR; the
+# FINAL basis is always Householder).  Trade-off measured on real pair
+# matrices (probe_rand_real_mats / probe_sweep_counts --rand): see
+# RESULTS.md — colnorm keeps the count collapse of q=1 at ~q=0 QR cost
+# if the leak stays at the q=1 level.
+_INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
 RAND_MIN_N = int(os.environ.get("AQC_TPU_RAND_MIN_N", "128"))
@@ -93,11 +101,19 @@ def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
     key = jax.random.PRNGKey(0x5EED ^ (n << 8) ^ ell)
     omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(a.dtype)
 
-    y = _orth(jnp.einsum("...ij,...jk->...ik", a, omega))
+    def _stab(y):
+        if _INTERMEDIATE == "colnorm":
+            nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=-2, keepdims=True))
+            return y / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny)
+        return _orth(y)
+
+    y = _stab(jnp.einsum("...ij,...jk->...ik", a, omega))
     ah = jnp.conj(jnp.swapaxes(a, -1, -2))
     for _ in range(q_iters):
-        z = _orth(jnp.einsum("...ij,...jk->...ik", ah, y))
-        y = _orth(jnp.einsum("...ij,...jk->...ik", a, z))
+        z = _stab(jnp.einsum("...ij,...jk->...ik", ah, y))
+        y = _stab(jnp.einsum("...ij,...jk->...ik", a, z))
+    if _INTERMEDIATE == "colnorm":
+        y = _orth(y)  # the final basis must be orthonormal
     return jnp.einsum("...ji,...jk->...ik", jnp.conj(y), a)  # (B, l, n)
 
 
