@@ -42,6 +42,8 @@ step "fusedrand-q0 28q perturbed" env AQC_TPU_RAND_POWER_ITERS=0 python benchmar
 # (4.90/3.84 vs 2.97/2.82 full-QR, 5.30/4.88 q=0 — RESULTS.md).
 step "rand-colnorm 20q perturbed"  env AQC_TPU_RAND_INTERMEDIATE=colnorm python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
 step "fusedrand-colnorm 28q perturbed" env AQC_TPU_RAND_INTERMEDIATE=colnorm python benchmarks/bench_mps.py 28 128 4 1 --svd-impl=rand --perturb=0.05
+# oversample 8: identical accuracy/counts on real matrices, ~10% fewer flops.
+step "rand-os8 20q perturbed"      env AQC_TPU_RAND_OVERSAMPLE=8 python benchmarks/bench_mps.py 20 64 4 1 --svd-impl=rand --perturb=0.05
 # Fleet: decompositions are flops-bound (RESULTS), so halving per-matrix
 # flops may finally lift the 8-start amortization past the 4x target
 # (round-3 plateau: 3.93x, aggregate 21.82 sweeps/s at 20q).
