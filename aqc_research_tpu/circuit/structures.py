@@ -139,61 +139,56 @@ def fraction_of_lower_bound(
     (cf. reference circuit_structures.py:210-251)."""
     assert chk.is_float(depth_fraction)
     if circuit_layout not in circuit_layout_list():
-        raise ValueError(f"'circuit_layout' must be one of {circuit_layout_list()}")
+        raise ValueError(
+            f"unknown circuit_layout {circuit_layout!r}; "
+            f"choose from {circuit_layout_list()}"
+        )
     if not 0 < depth_fraction <= 1:
-        raise ValueError("expects: 0 < depth_fraction <= 1")
+        raise ValueError("depth_fraction must lie in (0, 1]")
     bpl = num_blocks_per_layer(num_qubits, circuit_layout)
     circuit_depth = int(round(depth_fraction * lower_limit(num_qubits)))
     return int(max(1, (circuit_depth + bpl - 1) // bpl))
 
 
 # -----------------------------------------------------------------------------
-# Layout kernels (cf. reference circuit_structures.py:263-349).
+# Layout kernels.  Each returns a (2, depth) int array of (top, bottom) qubit
+# pairs; the arrays are a parity contract with reference
+# circuit_structures.py:263-349 (bit-identical, pinned by tests), but the
+# construction here is closed-form/vectorized rather than loop-emitted.
 # -----------------------------------------------------------------------------
 
 
 def _spin(num_qubits: int, depth: int) -> np.ndarray:
-    """Chessboard brick pattern: even pairs then odd pairs, repeating."""
-    blocks = np.zeros((2, depth), dtype=int)
-    k = 0
-    while True:
-        for shift in range(2):
-            for i in range(shift, num_qubits - 1, 2):
-                blocks[0, k] = i
-                blocks[1, k] = i + 1
-                k += 1
-                if k >= depth:
-                    return blocks
+    """Chessboard bricks: one period is all even-anchored pairs followed by
+    all odd-anchored pairs; ``np.resize`` tiles the period to ``depth``."""
+    period = np.concatenate(
+        [np.arange(0, num_qubits - 1, 2), np.arange(1, num_qubits - 1, 2)]
+    )
+    tops = np.resize(period, depth)
+    return np.stack([tops, tops + 1]).astype(int)
 
 
 def _line(num_qubits: int, depth: int) -> np.ndarray:
-    """Linear sweep skipping the (first, last) wrap-around connection."""
-    blocks = np.zeros((2, depth), dtype=int)
-    pos = 0
-    for i in range(depth):
-        if pos % num_qubits == num_qubits - 1:
-            pos += 1  # skip connecting the first and last qubits
-        blocks[0, i] = pos % num_qubits
-        blocks[1, i] = (pos + 1) % num_qubits
-        pos += 1
-    return blocks
+    """Open-chain staircase: pair anchors walk 0..n-2 and wrap without ever
+    emitting the (last, first) link, i.e. anchor = i mod (n-1)."""
+    tops = np.arange(depth) % (num_qubits - 1)
+    return np.stack([tops, tops + 1]).astype(int)
 
 
 def _cyclic_spin(num_qubits: int, depth: int) -> np.ndarray:
-    """Spin-like pattern with the (first, last) pair also connected."""
-    blocks = np.zeros((2, depth), dtype=int)
-    n_even = num_qubits % 2 == 0
-    for i in range(depth):
-        offset = (i // (num_qubits // 2)) % 2 if n_even else 0
-        blocks[0, i] = (2 * i + offset) % num_qubits
-        blocks[1, i] = (2 * i + offset + 1) % num_qubits
-    return blocks
+    """Chessboard bricks on a ring: for even n the anchor parity flips every
+    n/2 blocks; odd n needs no flip (the stride-2 walk covers the ring)."""
+    i = np.arange(depth)
+    if num_qubits % 2 == 0:
+        parity = (i // (num_qubits // 2)) % 2
+    else:
+        parity = np.zeros(depth, dtype=int)
+    tops = (2 * i + parity) % num_qubits
+    return np.stack([tops, (tops + 1) % num_qubits]).astype(int)
 
 
 def _cyclic_line(num_qubits: int, depth: int) -> np.ndarray:
-    """Linear sweep including the (first, last) wrap-around connection."""
-    blocks = np.zeros((2, depth), dtype=int)
-    for i in range(depth):
-        blocks[0, i] = i % num_qubits
-        blocks[1, i] = (i + 1) % num_qubits
-    return blocks
+    """Closed-chain staircase: anchors walk the full ring, wrap-around
+    (last, first) link included."""
+    tops = np.arange(depth) % num_qubits
+    return np.stack([tops, (tops + 1) % num_qubits]).astype(int)

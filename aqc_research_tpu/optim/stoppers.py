@@ -11,6 +11,7 @@ flags for host-roundtrip-free runs.
 
 from __future__ import annotations
 
+from collections import deque
 from time import perf_counter
 from typing import Callable, Optional, Union
 
@@ -126,8 +127,20 @@ class TimeoutChecker:
 
 
 class EarlyStopper:
-    """Combined fobj-threshold / no-improvement / fidelity-threshold stopper
-    with best-so-far snapshots (cf. optimizer.py:228-336)."""
+    """One-shot stop-condition monitor for the host-driven optimizer loop.
+
+    Watches three independent triggers — objective below ``fobj_thr``,
+    fidelity at/above ``fidelity_thr``, and a stall of more than
+    ``num_iters`` iterations without a new objective minimum — and raises
+    ``StopIteration`` on the first one that fires, after snapshotting the
+    result via the caller-supplied ``on_stop`` callback.  On a stall the
+    snapshot is taken at the *running minimum*, not the current point.
+
+    Same stop contract as the reference stopper
+    (``/root/reference/aqc_research/optimizer.py:228``); the jitted loop in
+    ``optim/lbfgs.py`` realizes these conditions as ``while_loop`` carry
+    flags instead.
+    """
 
     def __init__(
         self,
@@ -135,14 +148,19 @@ class EarlyStopper:
         fidelity_thr: Optional[float] = None,
         num_iters: Optional[int] = None,
     ):
-        assert fidelity_thr is None or 0 < fidelity_thr <= 1
+        if fidelity_thr is not None and not 0 < fidelity_thr <= 1:
+            raise ValueError("fidelity_thr must lie in (0, 1]")
         self._fobj_thr = fobj_thr
         self._fidelity_thr = fidelity_thr
-        self._early_stop_iters = num_iters if num_iters else -1
-        self._min_fobj = np.inf
-        self._min_thetas = np.empty(0)
-        self._min_iteration = 0
+        self._stall_limit = int(num_iters) if num_iters else 0
+        # Running minimum as a (fobj, thetas_copy, iter_no) triple; None until
+        # the first check that carries an objective value.
+        self._best: Optional[tuple] = None
         self._results: dict = {}
+
+    def _halt(self, on_stop, fobj, thetas, reason: str) -> None:
+        self._results = on_stop(fobj, thetas)
+        raise StopIteration(reason)
 
     def check(
         self,
@@ -152,34 +170,36 @@ class EarlyStopper:
         iter_no: int,
         on_stop: Callable[[float, np.ndarray], dict],
     ) -> None:
-        if self._min_thetas.size == 0:
-            self._min_thetas = np.asarray(thetas).copy()
-
-        if fobj is not None and self._fobj_thr is not None and fobj < self._fobj_thr:
-            self._results = on_stop(fobj, thetas)
-            raise StopIteration(
-                f"early termination, objective fobj={fobj:0.5f} fell below the "
-                f"threshold={self._fobj_thr:0.5f}"
-            )
-
-        if fobj is not None and self._early_stop_iters > 0:
-            if fobj < self._min_fobj:
-                self._min_fobj = fobj
-                np.copyto(self._min_thetas, np.asarray(thetas))
-                self._min_iteration = iter_no
-            elif iter_no - self._min_iteration > self._early_stop_iters:
-                self._results = on_stop(self._min_fobj, self._min_thetas)
-                raise StopIteration("Early termination, no improvement")
-
+        if fobj is not None:
+            if self._best is None or fobj < self._best[0]:
+                self._best = (fobj, np.array(thetas, copy=True), iter_no)
+            if self._fobj_thr is not None and fobj < self._fobj_thr:
+                self._halt(
+                    on_stop,
+                    fobj,
+                    thetas,
+                    f"stop: objective {fobj:0.5f} reached its "
+                    f"target {self._fobj_thr:0.5f}",
+                )
+            if self._stall_limit > 0 and iter_no - self._best[2] > self._stall_limit:
+                best_fobj, best_thetas, _ = self._best
+                self._halt(
+                    on_stop,
+                    best_fobj,
+                    best_thetas,
+                    f"stop: stalled for more than {self._stall_limit} iterations",
+                )
         if (
             fidelity is not None
             and self._fidelity_thr is not None
             and fidelity >= self._fidelity_thr
         ):
-            self._results = on_stop(fobj, thetas)
-            raise StopIteration(
-                f"early termination, fidelity={fidelity:0.3f} exceeded "
-                f"the threshold={self._fidelity_thr:0.3f}"
+            self._halt(
+                on_stop,
+                fobj,
+                thetas,
+                f"stop: fidelity {fidelity:0.3f} reached its "
+                f"target {self._fidelity_thr:0.3f}",
             )
 
     @property
@@ -188,28 +208,42 @@ class EarlyStopper:
 
 
 class GradientAmplifier:
-    """Log-scale amplification of vanishing gradients on barren plateaus,
-    estimated from the peak-to-peak deviation of recent fobj samples
-    (cf. optimizer.py:339-398).  Experimental, off by default."""
+    """Adaptive gradient rescaling for barren-plateau escapes (experimental,
+    opt-in; reference contract ``optimizer.py:339``).
+
+    Keeps a ring buffer of the most recent objective samples.  Once the
+    buffer is full, the window's spread (max - min) is mapped through
+    ``-log10`` (``-ln`` when ``strong``) and clamped below at 1; the
+    published scale follows that target through an exponential moving
+    average.  A flat window — the plateau signature — therefore pushes the
+    scale up smoothly, while normal progress keeps it pinned at 1.
+    """
+
+    # EMA weight and the spread floor guarding the log on perfectly flat
+    # windows.  Both are part of the reference's numeric contract.
+    _EMA_WEIGHT = 0.3
+    _SPREAD_FLOOR = 1e-8
 
     def __init__(self, history: int = 5, strong: bool = False, verbose: bool = False):
-        assert chk.is_int(history, history >= 3)
-        self._history = np.zeros(history)
-        self._counter = 0
-        self._logarithm = np.log if strong else np.log10
+        if int(history) < 3:
+            raise ValueError("history window must hold at least 3 samples")
+        self._window: "deque[float]" = deque(maxlen=int(history))
+        self._log = np.log if strong else np.log10
         self._scale = 1.0
         self._verbose = bool(verbose)
         if verbose:
-            _logger.warning("enabled gradient amplification in case of barren plateau")
+            _logger.warning(
+                "gradient amplification active (experimental barren-plateau aid)"
+            )
 
     def estimate(self, fobj: float) -> float:
-        self._history[self._counter % self._history.size] = fobj
-        self._counter += 1
-        if self._counter < self._history.size:
+        self._window.append(float(fobj))
+        if len(self._window) < self._window.maxlen:
             return 1.0
-        dev = float(np.ptp(self._history))
-        new_scale = max(-float(self._logarithm(max(dev, 1e-8))), 1.0)
-        self._scale += 0.3 * (new_scale - self._scale)
+        spread = max(self._window) - min(self._window)
+        target = max(1.0, -float(self._log(max(spread, self._SPREAD_FLOOR))))
+        w = self._EMA_WEIGHT
+        self._scale = (1.0 - w) * self._scale + w * target
         if self._verbose and self._scale > 1.5:
-            _logger.info("gradient scale: %0.4f", self._scale)
+            _logger.info("amplifying gradients by %0.4f", self._scale)
         return self._scale

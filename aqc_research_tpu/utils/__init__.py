@@ -212,67 +212,89 @@ class UserExit:
 
 
 # -----------------------------------------------------------------------------
-# Accumulating wall-clock timer, cf. reference utils.py:150-231.
+# Accumulating wall-clock timer (timing contract of reference utils.py:150;
+# redesigned: per-section context objects, so nested sections are legal).
 # -----------------------------------------------------------------------------
 
 
+class _TimedSection:
+    """Context manager for one timed region; folds its duration into the
+    owning :class:`MyTimer` on exit."""
+
+    __slots__ = ("_owner", "_label", "_start")
+
+    def __init__(self, owner: "MyTimer", label: str):
+        self._owner = owner
+        self._label = label
+        self._start: Optional[float] = None
+
+    def __enter__(self) -> "_TimedSection":
+        self._start = perf_counter()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> bool:
+        self._owner._record(self._label, perf_counter() - self._start)
+        return False  # never swallow exceptions
+
+
 class MyTimer:
-    """Accumulating named wall-clock timer.
+    """Named wall-clock accumulator: repeated sections under the same label
+    sum their durations (and count their calls, for mean-mode reporting).
 
     Usage::
 
         timer = MyTimer()
         with timer("stage1"):
             ...
+        timer.tic("stage2"); ...; timer.toc()
         print(timer.all_metrics())
 
-    Note: when timing jitted JAX work, call ``.block_until_ready()`` on the
-    result inside the timed region, otherwise only dispatch time is measured.
+    ``full_time=True`` reports accumulated totals; ``False`` reports the
+    mean per call.  When timing jitted JAX work, fetch or
+    ``block_until_ready()`` the result inside the region — otherwise only
+    dispatch time is measured (see CLAUDE.md on the axon sync regime).
     """
 
     def __init__(self, full_time: bool = True):
-        self._metrics: Dict[str, List[float]] = {}
-        self._name: Optional[str] = None
-        self._tic: Optional[float] = None
-        self._full_time = bool(full_time)
+        # label -> [accumulated seconds, call count]
+        self._acc: Dict[str, List[float]] = {}
+        self._open: Optional[_TimedSection] = None
+        self._report_totals = bool(full_time)
 
-    def __call__(self, metric_name: str) -> "MyTimer":
-        assert isinstance(metric_name, str) and self._tic is None
-        self._name = metric_name
-        return self
+    def _record(self, label: str, seconds: float) -> None:
+        slot = self._acc.setdefault(label, [0.0, 0])
+        slot[0] += seconds
+        slot[1] += 1
 
-    def __enter__(self) -> "MyTimer":
-        self._tic = perf_counter()
-        return self
-
-    def __exit__(self, exc_type, exc_val, exc_tb):
-        rec = self._metrics.setdefault(self._name, [0.0, 0])
-        rec[0] += perf_counter() - self._tic
-        rec[1] += 1
-        self._name, self._tic = None, None
-        return exc_type is None
+    def __call__(self, metric_name: str) -> _TimedSection:
+        return _TimedSection(self, metric_name)
 
     def tic(self, metric_name: str) -> None:
-        self.__call__(metric_name)
-        self.__enter__()
+        assert self._open is None, "tic() without a matching toc()"
+        self._open = _TimedSection(self, metric_name).__enter__()
 
     def toc(self) -> None:
-        self.__exit__(None, None, None)
+        assert self._open is not None, "toc() without a matching tic()"
+        section, self._open = self._open, None
+        section.__exit__(None, None, None)
 
     def metric(self, metric_name: str) -> float:
-        total, count = self._metrics[metric_name]
-        return total if self._full_time else total / float(max(count, 1))
+        seconds, calls = self._acc[metric_name]
+        if self._report_totals:
+            return seconds
+        return seconds / float(max(calls, 1))
 
     def all_metrics(self) -> dict:
-        return {k: self.metric(k) for k in self._metrics}
+        return {label: self.metric(label) for label in self._acc}
 
     def rounded_metrics(self, decimals: int = 6) -> dict:
+        """All metrics as fixed-width strings aligned on the largest value."""
         assert chk.is_int(decimals, decimals >= 0)
         metrics = self.all_metrics()
         if not metrics:
             return {}
-        width = int(round(np.floor(np.log10(max(max(metrics.values()), 1.0)))))
-        width += decimals + 2
+        # integer digits of the largest value + decimal point + fraction
+        width = len(str(int(max(max(metrics.values()), 1.0)))) + 1 + decimals
         return {k: f"{v:{width}.{decimals}f}" for k, v in metrics.items()}
 
 
