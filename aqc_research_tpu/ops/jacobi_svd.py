@@ -216,11 +216,11 @@ def jacobi_sweeps_used(
 
     ``m``: (..., rows, n) — n columns of length rows being orthogonalized
     (square for the plain kernel; the randomized-projection path counts on
-    the reduced (n_full, l) problem).  Returns an i32 scalar per batch
-    element... no — the adaptive loop is shared across the batch (one
-    while_loop), so ONE scalar is returned: the count the whole batch pays.
-    One sweep is n-1 phases — a full round-robin tour of the n COLUMNS
-    (lane/row count does not enter the schedule)."""
+    the reduced (n_full, l) problem).  Returns ONE i32 scalar for the whole
+    batch: the adaptive loop is a single shared while_loop, so every batch
+    element pays the count of the slowest-converging one.  One sweep is n-1
+    phases — a full round-robin tour of the n COLUMNS (lane/row count does
+    not enter the schedule)."""
     n = m.shape[-1]
     assert n % 2 == 0
     p = n // 2

@@ -395,7 +395,11 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
         from . import rand_svd
         from .jacobi_svd import DEFAULT_SWEEPS
 
-        if 2 * chi >= rand_svd.RAND_MIN_N:
+        # The fused kernel additionally needs a sublane-aligned sketch width
+        # (ell % 8); a user-set AQC_TPU_RAND_OVERSAMPLE that breaks alignment
+        # falls through to the unfused rand path, which handles any even ell.
+        ell = rand_svd.rand_ell(2 * chi, chi)
+        if 2 * chi >= rand_svd.RAND_MIN_N and ell % 8 == 0:
             from .fused_rand import fused_rand_pair_update
 
             return fused_rand_pair_update(
@@ -721,20 +725,29 @@ def rand_mps_vec(
     return mps_from_program(ansatz_to_program(circ, thetas), num_qubits, chi_max=chi_max)
 
 
-def mps_resize(mps: MPS, chi_new: int) -> MPS:
-    """Pads (grows) or slices (shrinks) the static bond dimension.
-
-    Shrinking is only exact when the dropped bond rows/cols are zero — the
-    caller is responsible (the χ-growth scheduler only ever grows)."""
+@partial(jax.jit, static_argnums=(1,))
+def _mps_resize_jit(mps: MPS, chi_new: int) -> MPS:
     n, chi = mps.num_sites, mps.chi
-    if chi_new == chi:
-        return mps
     k = min(chi, chi_new)
     g = jnp.zeros((n, 2, chi_new, chi_new), mps.gammas.dtype)
     g = g.at[:, :, :k, :k].set(mps.gammas[:, :, :k, :k])
     lam = jnp.zeros((max(n - 1, 0), chi_new), mps.lambdas.dtype)
     lam = lam.at[:, :k].set(mps.lambdas[:, :k])
     return MPS(g, lam)
+
+
+def mps_resize(mps: MPS, chi_new: int) -> MPS:
+    """Pads (grows) or slices (shrinks) the static bond dimension.
+
+    Shrinking is only exact when the dropped bond rows/cols are zero — the
+    caller is responsible (the χ-growth scheduler only ever grows).
+
+    Jitted constructor (the ``_mps_basis_state_jit`` pattern): the complex
+    zero buffers are born inside jit, so calling this eagerly on the axon
+    TPU backend is safe (see CLAUDE.md on lazily-invalid complex buffers)."""
+    if chi_new == mps.chi:
+        return mps
+    return _mps_resize_jit(mps, chi_new)
 
 
 # -----------------------------------------------------------------------------

@@ -92,12 +92,22 @@ def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
     sketched (power-iterated) range of A.  Shared by :func:`rand_svd_top_k`
     and the fused_rand pair-update route (ops/fused_rand.py)."""
     b, n = a.shape[0], a.shape[-1]
-    # Deterministic test matrices (reproducible programs; no per-call host
-    # RNG round trips), drawn INDEPENDENTLY per batch element: HMT failure
+    # Test matrices are drawn INDEPENDENTLY per batch element (HMT failure
     # bounds are per-draw, so a shared Omega would make any poorly-aligned
-    # draw fail systematically across all pair matrices of a half-layer
-    # (and across optimizer iterations, whose matrices evolve slowly).  A
-    # real Gaussian samples both complex planes of A's row space.
+    # draw fail systematically across all pair matrices of a half-layer).
+    # The key is deliberately FIXED per (n, ell): every call — including
+    # every optimizer iteration on the same slowly-evolving pair matrix —
+    # reuses the same Omega.  This is a conscious trade: a per-call
+    # data-dependent key was tried and breaks cross-implementation parity
+    # (the fused/unfused routes build theta with 1-ulp differences, so any
+    # bit-exact tag diverges and the routes draw different sketches).  The
+    # deterministic-reuse risk (one position keeping a poorly-aligned draw
+    # forever) is covered by the oversample margin (l = k + 16 by default)
+    # plus one power iteration, which together drive the worst-case
+    # captured-matrix truncation leak ~5 orders below the plain kernel's
+    # (benchmarks/probe_rand_real_mats.py); convergence is additionally
+    # pinned by the jitloop band checks.  A real Gaussian samples both
+    # complex planes of A's row space.
     key = jax.random.PRNGKey(0x5EED ^ (n << 8) ^ ell)
     omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(a.dtype)
 

@@ -275,7 +275,11 @@ def minimize_lbfgs_compact_stateful(
         )(steps)
         ok_vec = f_news <= f + c1 * steps * slope
         any_ok = jnp.any(ok_vec)
-        idx = jnp.argmax(ok_vec)  # first (largest) passing step; 0 if none
+        # First (largest) passing step; if NONE passes, take the SMALLEST
+        # grid step (matches the sequential backtracker, which ends at the
+        # smallest tried step) so the carry/stop_fn never observe a rejected
+        # full-step iterate.
+        idx = jnp.where(any_ok, jnp.argmax(ok_vec), k - 1)
         step = steps[idx]
         f_new = f_news[idx]
         ost = jax.tree_util.tree_map(lambda a: a[idx], osts)
@@ -297,7 +301,9 @@ def minimize_lbfgs_compact_stateful(
         )(steps)
         ok_vec = f_news <= f + c1 * steps * slope
         any_ok = jnp.any(ok_vec)
-        idx = jnp.argmax(ok_vec)
+        # See backtrack_batched: fall back to the smallest grid step, never
+        # the rejected full step.
+        idx = jnp.where(any_ok, jnp.argmax(ok_vec), k - 1)
         step = steps[idx]
         ost = jax.tree_util.tree_map(lambda a: a[idx], osts)
         return step, f_news[idx], g_news[idx], any_ok, ost
