@@ -283,3 +283,485 @@ def chain_apply_pairs(
         cmps.gammas, cmps.lam_r, jnp.asarray(gates_dense, dtype), active
     )
     return ChainMPS(gam, lamr)
+
+
+def chain_apply_1q_dense(cmps: ChainMPS, gates: jax.Array, mesh: Mesh, *, axis: str = "sp") -> ChainMPS:
+    """Distinct 1q gates at EVERY site (``gates``: (n, 2, 2)); purely local
+    (Γ_i <- g_i Γ_i touches no bonds).  Parity: ops.mps.apply_1q_many."""
+    n = cmps.num_sites
+    chain_block_size(n, mesh, axis)
+    spec = P(axis)
+
+    @partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    def apply(gam, g):
+        return jnp.einsum("pij,pjab->piab", g.astype(gam.dtype), gam)
+
+    return ChainMPS(apply(cmps.gammas, jnp.asarray(gates)), cmps.lam_r)
+
+
+# -----------------------------------------------------------------------------
+# Environment pipelines (the SURVEY §5 "ring-like ICI pattern"): boundary
+# environments flow around the device ring; each device stores only its own
+# block of the environment stacks.
+# -----------------------------------------------------------------------------
+
+
+def _fold_block(gam, lamr):
+    return gam * lamr[:, None, None, :].astype(gam.dtype)
+
+
+def _env_pipelines(aw, az, axis: str, ndev: int):
+    """Per-device environment stacks of <w|z> from local folded blocks.
+
+    Returns (l_blk, r_blk), each (m, cw, cz) device-local: ``l_blk[j]`` is
+    the environment of all sites strictly left of global site d·m+j,
+    ``r_blk[j]`` of all sites at/right of it — the shard of the replicated
+    engine's L/R stacks (ops.mps_gradient._env_stacks) this device owns.
+    Two ring pipelines of P (local scan, χ×χ handoff) rounds; device k's
+    round-k scan is the live one (left: k ascending; right: descending).
+    """
+    m = aw.shape[0]
+    cw, cz = aw.shape[-1], az.shape[-1]
+    dtype = jnp.promote_types(aw.dtype, az.dtype)
+    me = jax.lax.axis_index(axis)
+    e00 = jnp.zeros((cw, cz), dtype).at[0, 0].set(1.0)
+
+    def lstep(env, ts):
+        t1, t2 = ts
+        new = jnp.einsum("aA,sab,sAB->bB", env, jnp.conj(t1), t2)
+        return new, env  # store the PRE-absorption env = L[site]
+
+    l_blk = jnp.zeros((m, cw, cz), dtype)
+    env = e00
+    for k in range(ndev):
+        env_out, stored = jax.lax.scan(lstep, env, (aw, az))
+        l_blk = jnp.where(me == k, stored, l_blk)
+        env = jax.lax.ppermute(env_out, axis, _perm_right(ndev))
+
+    def rstep(env, ts):
+        t1, t2 = ts
+        new = jnp.einsum("sab,sAB,bB->aA", jnp.conj(t1), t2, env)
+        return new, new  # store the POST-absorption env = R[site]
+
+    r_blk = jnp.zeros((m, cw, cz), dtype)
+    env = e00
+    for k in range(ndev):
+        env_out, stored = jax.lax.scan(rstep, env, (aw[::-1], az[::-1]))
+        r_blk = jnp.where(me == ndev - 1 - k, stored[::-1], r_blk)
+        env = jax.lax.ppermute(env_out, axis, _perm_left(ndev))
+    return l_blk, r_blk
+
+
+def chain_env_stacks(w: ChainMPS, z: ChainMPS, mesh: Mesh, *, axis: str = "sp"):
+    """Sharded (n, cw, cz) L/R environment stacks of <w|z> (test surface)."""
+    n = w.num_sites
+    ndev = int(mesh.shape[axis])
+    chain_block_size(n, mesh, axis)
+    spec = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def run(gw, lw, gz, lz):
+        return _env_pipelines(
+            _fold_block(gw, lw), _fold_block(gz, lz), axis, ndev
+        )
+
+    return run(w.gammas, w.lam_r, z.gammas, z.lam_r)
+
+
+def _pair_n4_local(aw, az, l_blk, r_blk, parity: int, axis: str, ndev: int):
+    """Two-site environment tensors N₄ of <w|z> for this device's pair slots
+    ((k, 4, 4); rows = z physical (u,v), cols = w physical (s,t)) — the
+    shard of ops.mps_gradient._pair_env_tensors.  Halos (right neighbour):
+    first site tensors (straddling pairs) and the first two R envs."""
+    m = aw.shape[0]
+    k = m // 2
+    cw, cz = aw.shape[-1], az.shape[-1]
+    dtype = jnp.promote_types(aw.dtype, az.dtype)
+    me = jax.lax.axis_index(axis)
+    e00 = jnp.zeros((cw, cz), dtype).at[0, 0].set(1.0)
+
+    r0 = jax.lax.ppermute(r_blk[0], axis, _perm_left(ndev))
+    # R[n] (the last device's r0 halo) is the trivial boundary.
+    r0 = jnp.where(me == ndev - 1, e00, r0)
+    if parity == 0:
+        lo = np.arange(k) * 2
+        awl, awh = aw[lo], aw[lo + 1]
+        azl, azh = az[lo], az[lo + 1]
+        r_env = jnp.concatenate([r_blk[lo[:-1] + 2], r0[None]], axis=0)
+    else:
+        aw0 = jax.lax.ppermute(aw[0], axis, _perm_left(ndev))
+        az0 = jax.lax.ppermute(az[0], axis, _perm_left(ndev))
+        r1 = jax.lax.ppermute(r_blk[1], axis, _perm_left(ndev))
+        lo = np.arange(k) * 2 + 1
+        awl = aw[lo]
+        awh = jnp.concatenate([aw[lo[:-1] + 1], aw0[None]], axis=0)
+        azl = az[lo]
+        azh = jnp.concatenate([az[lo[:-1] + 1], az0[None]], axis=0)
+        # r at lo+2: local for interior; the straddling slot reaches two
+        # sites into the neighbour (its garbage on the last device is
+        # masked out — that slot is contractually inactive).
+        r_env = jnp.concatenate([r_blk[lo[:-1] + 2], r1[None]], axis=0)
+    l_env = l_blk[lo]
+
+    def one(le, twl, twh, tzl, tzh, re):
+        tw = jnp.einsum("sam,tmb->stab", twl, twh)
+        tz = jnp.einsum("uAM,vMB->uvAB", tzl, tzh)
+        tz = jnp.einsum("uvAB,bB->uvAb", tz, re)
+        x = jnp.einsum("aA,stab->stAb", le, jnp.conj(tw))
+        return jnp.einsum("stAb,uvAb->uvst", x, tz)
+
+    n4 = jax.vmap(one)(l_env, awl, awh, azl, azh, r_env)
+    return n4.reshape(k, 4, 4)
+
+
+# -----------------------------------------------------------------------------
+# Layered Trotter co-sweep gradient under chain sharding.  Same pair-local
+# triplet algebra as ops.mps_gradient._half_layer_cosweep, with the dense
+# per-slot layout of chain_apply_pairs and the sharded environment stacks.
+# -----------------------------------------------------------------------------
+
+
+def _group_dense_maps(circ, group):
+    """Static layout of one half-layer group: (slots, blk3, parity) where
+    ``slots[i]`` is the dense pair slot of group member i and ``blk3[i, b]``
+    the member's layer-block index for triplet position b."""
+    los = np.asarray([lo for _, lo in group], dtype=int)
+    parity = int(los[0] % 2)
+    assert np.all(los % 2 == parity), "group anchors must share parity"
+    slots = (los - parity) // 2
+    t_idx = np.asarray([t for t, _ in group], dtype=int)
+    blk3 = 3 * t_idx[:, None] + np.arange(3)[None, :]
+    return slots, blk3, parity
+
+
+def _group_cosweep_program(
+    w: ChainMPS,
+    z: ChainMPS,
+    th_dense: jax.Array,  # (n//2, 3, tpb)
+    msk_dense: jax.Array,  # (n//2, 3) — inactive slots are all-zero
+    parity: int,
+    mesh: Mesh,
+    axis: str,
+    dtype,
+):
+    """dots (n//2, 3, 4) and composed triplet prefixes (n//2, 4, 4), both
+    slot-sharded.  Mirrors the prefix/Pauli algebra of
+    ops.mps_gradient._half_layer_cosweep exactly (4x4 per-slot matmuls are
+    device-local; only the environment machinery communicates)."""
+    from ..circuit import gates as G
+    from ..ops.mps_gradient import (
+        _cx_lo_hi,
+        _embed_1q_batch,
+        _embed_pauli,
+        _rz_frame_lo_hi,
+    )
+
+    n = w.num_sites
+    ndev = int(mesh.shape[axis])
+    chain_block_size(n, mesh, axis)
+    spec = P(axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def run(gw, lw, gz, lz, th, msk):
+        aw = _fold_block(gw, lw)
+        az = _fold_block(gz, lz)
+        l_blk, r_blk = _env_pipelines(aw, az, axis, ndev)
+        n4 = _pair_n4_local(aw, az, l_blk, r_blk, parity, axis, ndev)
+        k = n4.shape[0]
+
+        y_mat, z_mat, x_mat = G.y(dtype), G.z(dtype), G.x(dtype)
+        prefix = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (k, 4, 4))
+        dots = jnp.zeros((k, 3, 4), dtype)
+        half = 0.5j
+        for b in range(3):
+            ctrl_is_hi = b != 1
+            ent = _cx_lo_hi(ctrl_is_hi, dtype)
+            if b == 0:
+                ent = jnp.matmul(ent, _rz_frame_lo_hi(-np.pi / 2, True, dtype))
+            prefix = jnp.einsum("ij,pjk->pik", ent, prefix)
+            th_b = th[:, b, :]
+            msk_b = msk[:, b].astype(dtype)
+            specs = [
+                (G.ry, y_mat, ctrl_is_hi, 0),
+                (G.rz, z_mat, ctrl_is_hi, 1),
+                (G.ry, y_mat, not ctrl_is_hi, 2),
+                (G.rx, x_mat, not ctrl_is_hi, 3),
+            ]
+            for gate_fn, pauli, on_hi, col in specs:
+                g4 = _embed_1q_batch(gate_fn(th_b[:, col], dtype), on_hi)
+                prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
+                p4 = _embed_pauli(pauli, on_hi)
+                y4 = jnp.einsum("pji,jk,pkl->pil", jnp.conj(prefix), p4, prefix)
+                vals = half * jnp.einsum("pij,pij->p", jnp.conj(y4), n4) * msk_b
+                dots = dots.at[:, b, col].set(vals)
+            if b == 2:
+                frame = G.rz(np.pi / 2, dtype)
+                g4 = _embed_1q_batch(
+                    jnp.broadcast_to(frame, (k, 2, 2)), not ctrl_is_hi
+                )
+                prefix = jnp.einsum("pij,pjk->pik", g4, prefix)
+        return dots, prefix
+
+    return run(w.gammas, w.lam_r, z.gammas, z.lam_r, th_dense, msk_dense)
+
+
+def chain_half_layer_cosweep(
+    circ,
+    group,
+    layer_thetas,  # (bpl, tpb)
+    layer_masks,  # (bpl,)
+    w: ChainMPS,
+    z: ChainMPS,
+    trunc_thr: float,
+    dtype,
+    mesh: Mesh,
+    axis: str = "sp",
+):
+    """One half-layer group of the layered co-sweep: per-parameter dots plus
+    the truncated pair update of BOTH states, everything site-sharded.
+    Returns (w', z', rows (bpl, 4))."""
+    n = w.num_sites
+    n_slots = n // 2
+    tpb = circ.tpb
+    slots, blk3, parity = _group_dense_maps(circ, group)
+
+    th_dense = (
+        jnp.zeros((n_slots, 3, tpb), layer_thetas.dtype)
+        .at[slots]
+        .set(layer_thetas[blk3])
+    )
+    msk_dense = (
+        jnp.zeros((n_slots, 3), layer_masks.dtype).at[slots].set(layer_masks[blk3])
+    )
+    active = np.zeros(n_slots, dtype=bool)
+    active[slots] = True
+    active = jnp.asarray(active)
+
+    dots_dense, prefix = _group_cosweep_program(
+        w, z, th_dense, msk_dense, parity, mesh, axis, dtype
+    )
+    rows = (
+        jnp.zeros((circ.bpl, 4), dtype)
+        .at[blk3.reshape(-1)]
+        .set(dots_dense[slots].reshape(-1, 4))
+    )
+    w = chain_apply_pairs(w, prefix, active, parity, mesh, axis=axis, trunc_thr=trunc_thr)
+    z = chain_apply_pairs(z, prefix, active, parity, mesh, axis=axis, trunc_thr=trunc_thr)
+    return w, z, rows
+
+
+def chain_front_cosweep(
+    circ, thetas1q, w: ChainMPS, z: ChainMPS, front_layer: bool, mesh: Mesh,
+    axis: str, dtype,
+):
+    """Front Rz·Ry·Rz layer under chain sharding: the 1q applies are local;
+    the per-site dots reuse ONE stack build (1q gates hit both states, so
+    the environments are invariant — ops.mps_gradient._dots_from_stacks).
+    Returns (w', z', grads (n, 3) site-sharded)."""
+    from ..circuit import gates as G
+
+    n = circ.num_qubits
+    ndev = int(mesh.shape[axis])
+    m = chain_block_size(n, mesh, axis)
+    spec = P(axis)
+    y_mat, z_mat = G.y(dtype), G.z(dtype)
+    rounds = ((2, G.rz, z_mat), (1, G.ry, y_mat), (0, G.rz, z_mat))
+    g_rounds = jnp.stack(
+        [gate_fn(thetas1q[:, col], dtype) for col, gate_fn, _ in rounds]
+    )  # (3, n, 2, 2)
+    paulis = jnp.stack([p for _, _, p in rounds])  # (3, 2, 2)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec, P(None, axis), P()),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    def run(gw, lw, gz, lz, g3, p3):
+        me = jax.lax.axis_index(axis)
+        cw, cz = gw.shape[-1], gz.shape[-1]
+        edt = jnp.promote_types(gw.dtype, gz.dtype)
+        e00 = jnp.zeros((cw, cz), edt).at[0, 0].set(1.0)
+        if front_layer:
+            l_blk, r_blk = _env_pipelines(
+                _fold_block(gw, lw), _fold_block(gz, lz), axis, ndev
+            )
+            r_next = jax.lax.ppermute(r_blk[0], axis, _perm_left(ndev))
+            r_next = jnp.where(me == ndev - 1, e00, r_next)
+            r_shift = jnp.concatenate([r_blk[1:], r_next[None]], axis=0)
+        grads = jnp.zeros((m, 3), dtype)
+        for ridx, (col, _, _) in enumerate(rounds):
+            g = g3[ridx].astype(gw.dtype)
+            gw = jnp.einsum("pij,pjab->piab", g, gw)
+            gz = jnp.einsum("pij,pjab->piab", g.astype(gz.dtype), gz)
+            if front_layer:
+                awc = _fold_block(gw, lw)
+                azc = _fold_block(gz, lz)
+                paw = jnp.einsum("ij,pjab->piab", p3[ridx].astype(awc.dtype), awc)
+                vals = jnp.einsum(
+                    "paA,psab,psAB,pbB->p", l_blk, jnp.conj(paw), azc, r_shift
+                )
+                grads = grads.at[:, col].set(0.5j * vals)
+        return gw, gz, grads
+
+    gw, gz, grads = run(
+        w.gammas, w.lam_r, z.gammas, z.lam_r, g_rounds, paulis
+    )
+    return ChainMPS(gw, w.lam_r), ChainMPS(gz, z.lam_r), grads
+
+
+def chain_fast_dot_gradient(
+    circ,
+    thetas,
+    lvec,
+    vh_phi,
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    trunc_thr: float = no_truncation_threshold(),
+    block_range=None,
+    front_layer: bool = True,
+) -> jax.Array:
+    """Complex gradient of ``<lvec | V† | phi>`` with SITE-SHARDED MPS states
+    — the memory-scaling twin of ops.mps_gradient.fast_dot_gradient's
+    layered path (requires a layered Trotterized CX ansatz).
+
+    ``lvec``/``vh_phi`` may be replicated :class:`~aqc_research_tpu.ops.mps.MPS`
+    (sharded on entry) or already-:class:`ChainMPS`.  Per-device memory over
+    the whole co-sweep is ~1/P of the replicated engine's: states,
+    environment stacks, and pair batches all live in site blocks.
+    """
+    from ..ops.mps_gradient import _layered_eligible, _layered_plan
+
+    assert _layered_eligible(circ), "chain gradient requires the layered Trotter family"
+    w = lvec if isinstance(lvec, ChainMPS) else chain_from_mps(lvec, mesh, axis=axis)
+    z = vh_phi if isinstance(vh_phi, ChainMPS) else chain_from_mps(vh_phi, mesh, axis=axis)
+    dtype = w.gammas.dtype
+    nb, bpl, tpb = circ.num_blocks, circ.bpl, circ.tpb
+    layers = nb // bpl
+    groups = _layered_plan(circ)
+    thetas = jnp.asarray(thetas)
+    block_range = (0, nb) if block_range is None else tuple(block_range)
+
+    thetas1q = circ.subset1q(thetas)
+    thetas2q = circ.subset2q(thetas)
+    mask_np = np.zeros(nb)
+    mask_np[block_range[0] : block_range[1]] = 1.0
+    masks = jnp.asarray(mask_np)
+
+    w, z, grad1q = chain_front_cosweep(
+        circ, thetas1q, w, z, front_layer, mesh, axis, dtype
+    )
+
+    th_layers = thetas2q.reshape(layers, bpl, tpb)
+    m_layers = masks.reshape(layers, bpl)
+
+    def layer_body(carry, xs):
+        w_, z_ = carry
+        th_l, m_l = xs
+        dots = jnp.zeros((bpl, 4), dtype)
+        for group in groups:
+            w_, z_, rows = chain_half_layer_cosweep(
+                circ, group, th_l, m_l, w_, z_, trunc_thr, dtype, mesh, axis
+            )
+            dots = dots + rows
+        return (w_, z_), dots
+
+    (w, z), scanned = jax.lax.scan(layer_body, (w, z), (th_layers, m_layers))
+    grad2q = scanned.reshape(nb, tpb)
+
+    half = circ.half_layer_num_blocks
+    if half:
+        w, z, rows = chain_half_layer_cosweep(
+            circ, groups[0], th_layers[0], m_layers[0], w, z, trunc_thr,
+            dtype, mesh, axis,
+        )
+        grad2q = grad2q.at[:bpl].add(rows)
+
+    return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
+
+
+def chain_v_dagger_mul_mps(
+    circ,
+    thetas,
+    cmps: ChainMPS,
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    trunc_thr: float = no_truncation_threshold(),
+) -> ChainMPS:
+    """``V(Θ)† @ state`` for a layered Trotterized CX ansatz, site-sharded —
+    the memory-scaling twin of ops.mps.v_dagger_mul_mps for this circuit
+    family (each triplet's three daggered block gates compose into one 4x4
+    per pair, so a half-layer costs ONE sharded truncated update)."""
+    from ..ops.mps_gradient import _layered_eligible, _layered_plan
+    from ..ops.statevector import block_gates, front_gates
+
+    assert _layered_eligible(circ)
+    thetas = jnp.asarray(thetas)
+    dtype = cmps.gammas.dtype
+    n = circ.num_qubits
+    nb, bpl = circ.num_blocks, circ.bpl
+    layers = nb // bpl
+    half = circ.half_layer_num_blocks
+    groups = _layered_plan(circ)
+    gates = block_gates(circ, circ.subset2q(thetas), dtype, dagger=True)
+    f1q = front_gates(circ, circ.subset1q(thetas), dtype, dagger=True)
+
+    def lo_major(g, k):
+        ctrl, targ = int(circ.blocks[0, k]), int(circ.blocks[1, k])
+        if ctrl > targ:
+            g = jnp.transpose(g.reshape(2, 2, 2, 2), (1, 0, 3, 2)).reshape(4, 4)
+        return g
+
+    def triplet_composite(gate_src, t):
+        # Forward order G0, G1, G2 -> dagger composite G0† G1† G2† (the
+        # gate_src already returns daggered per-block gates).
+        g = lo_major(gate_src(3 * t), 3 * t)
+        for b in (1, 2):
+            g = jnp.matmul(g, lo_major(gate_src(3 * t + b), 3 * t + b))
+        return g
+
+    def apply_group(state, group, gate_src):
+        slots, _, parity = _group_dense_maps(circ, group)
+        n_slots = n // 2
+        comp = jnp.stack([triplet_composite(gate_src, t) for t, _ in group])
+        dense = jnp.broadcast_to(jnp.eye(4, dtype=dtype), (n_slots, 4, 4))
+        dense = dense.at[slots].set(comp)
+        active = np.zeros(n_slots, dtype=bool)
+        active[slots] = True
+        return chain_apply_pairs(
+            state, dense, jnp.asarray(active), parity, mesh, axis=axis,
+            trunc_thr=trunc_thr,
+        )
+
+    out = cmps
+    if half:
+        # Trailing half-layer first (V† order): the 2nd-order Trotter tail
+        # REUSES the leading even group's blocks and angles (the reference
+        # symmetrization; same contract as _v_dagger_mul_mps_layers).
+        assert half == 3 * len(groups[0])
+        out = apply_group(out, groups[0], lambda k: gates[k])
+
+    for layer in range(layers - 1, -1, -1):
+        g_l = gates[layer * bpl : (layer + 1) * bpl]
+        for group in reversed(groups):
+            out = apply_group(out, group, lambda k: g_l[k])
+
+    return chain_apply_1q_dense(out, f1q, mesh, axis=axis)

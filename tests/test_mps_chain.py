@@ -187,3 +187,162 @@ class TestChainApplyPairs:
         ov = complex(np.asarray(mpsop.mps_dot(got, mps)))
         self_ov = complex(np.asarray(mpsop.mps_dot(mps, mps)))
         assert abs(ov - self_ov) < 1e-10
+
+
+# -----------------------------------------------------------------------------
+# Phase B: environment pipelines + the sharded layered co-sweep gradient.
+# -----------------------------------------------------------------------------
+
+from aqc_research_tpu.circuit.ansatz import TrotterAnsatz
+from aqc_research_tpu.circuit.structures import make_trotter_like_circuit
+from aqc_research_tpu.ops.mps_gradient import _env_stacks, fast_dot_gradient
+from aqc_research_tpu.parallel.mps_chain import (
+    chain_env_stacks,
+    chain_fast_dot_gradient,
+    chain_v_dagger_mul_mps,
+)
+from aqc_research_tpu.utils import rand_thetas
+
+
+class TestChainEnvStacks:
+    @pytest.mark.parametrize("ndev", [1, 2, 4])
+    def test_stack_parity(self, ndev):
+        rng = np.random.default_rng(51)
+        n, chi = 8, 8
+        w = _random_mps(rng, n, chi)
+        z = _random_mps(rng, n, chi)
+        _, _, l_want, r_want = _env_stacks(w, z)
+        mesh = _mesh(ndev)
+        l_got, r_got = chain_env_stacks(
+            chain_from_mps(w, mesh), chain_from_mps(z, mesh), mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(l_got), np.asarray(l_want[:n]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_got), np.asarray(r_want[:n]), atol=1e-12
+        )
+
+
+def _chain_grad_case(n, layers, chi, ndev, seed, second_order, trunc_thr=None):
+    rng = np.random.default_rng(seed)
+    circ = TrotterAnsatz.make(
+        n, make_trotter_like_circuit(n, layers), second_order
+    )
+    thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, circ.num_thetas))
+    lvec = _random_mps(rng, n, chi)
+    phi = _random_mps(rng, n, chi)
+    vh_phi = mpsop.v_dagger_mul_mps(circ, thetas, phi)
+    thr = mpsop.no_truncation_threshold() if trunc_thr is None else trunc_thr
+
+    want = np.asarray(
+        fast_dot_gradient(circ, thetas, lvec, vh_phi, trunc_thr=thr)
+    )
+    mesh = _mesh(ndev)
+    got = np.asarray(
+        chain_fast_dot_gradient(
+            circ, thetas, lvec, vh_phi, mesh, trunc_thr=thr
+        )
+    )
+    return got, want, circ, thetas, phi, vh_phi, mesh
+
+
+class TestChainGradient:
+    @pytest.mark.parametrize("ndev", [1, 2, 4])
+    def test_gradient_parity_first_order(self, ndev):
+        got, want, *_ = _chain_grad_case(8, 2, 16, ndev, 61, False)
+        assert np.max(np.abs(got - want)) < 1e-10
+
+    def test_gradient_parity_second_order(self):
+        got, want, *_ = _chain_grad_case(8, 2, 16, 4, 62, True)
+        assert np.max(np.abs(got - want)) < 1e-10
+
+    def test_gradient_parity_truncating(self):
+        # chi below the exact rank: both engines make the SAME truncation
+        # decisions (identical per-pair inputs), so parity still holds.
+        got, want, *_ = _chain_grad_case(8, 2, 8, 4, 63, False, trunc_thr=1e-9)
+        assert np.max(np.abs(got - want)) < 1e-9
+
+
+class TestChainVdagger:
+    @pytest.mark.parametrize("second_order", [False, True])
+    def test_vdagger_parity(self, second_order):
+        # The comparison is PHYSICAL (bond spectra + overlaps with external
+        # probes), not raw tensors: near-degenerate singular values let
+        # 1e-16 compilation-level differences in the composed gates rotate
+        # SVD factors O(1) within clustered subspaces, so Γ entries are
+        # only comparable when both paths consume bitwise-identical gate
+        # arrays (which the apply-pairs tests pin).  λ and every physical
+        # quantity are stable.
+        rng = np.random.default_rng(71)
+        n, chi, layers = 8, 16, 2
+        circ = TrotterAnsatz.make(
+            n, make_trotter_like_circuit(n, layers), second_order
+        )
+        thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, circ.num_thetas))
+        phi = _random_mps(rng, n, chi)
+        want, _cache = mpsop.v_dagger_mul_mps_layers(circ, thetas, phi)
+        mesh = _mesh(4)
+        got_c = chain_v_dagger_mul_mps(
+            circ, thetas, chain_from_mps(phi, mesh), mesh
+        )
+        got = chain_to_mps(got_c)
+        # Bond spectra match everywhere.
+        np.testing.assert_allclose(
+            np.asarray(got.lambdas), np.asarray(want.lambdas), atol=1e-11
+        )
+        # Overlaps with independent probe states match.
+        for seed in (101, 102, 103):
+            probe = _random_mps(np.random.default_rng(seed), n, chi)
+            ov_got = complex(
+                np.asarray(
+                    chain_dot(chain_from_mps(probe, mesh), got_c, mesh)
+                )
+            )
+            ov_want = complex(np.asarray(mpsop.mps_dot(probe, want)))
+            assert abs(ov_got - ov_want) < 1e-10, seed
+
+    @pytest.mark.parametrize("second_order", [False, True])
+    def test_vdagger_physical_parity(self, second_order):
+        # Against the block-at-a-time engine the comparison must be
+        # physical: overlaps with external states, not raw tensors.
+        rng = np.random.default_rng(73)
+        n, chi = 8, 16
+        circ = TrotterAnsatz.make(
+            n, make_trotter_like_circuit(n, 2), second_order
+        )
+        thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, circ.num_thetas))
+        phi = _random_mps(rng, n, chi)
+        probe = _random_mps(rng, n, chi)
+        want = mpsop.v_dagger_mul_mps(circ, thetas, phi)
+        mesh = _mesh(4)
+        got_c = chain_v_dagger_mul_mps(
+            circ, thetas, chain_from_mps(phi, mesh), mesh
+        )
+        ov_got = complex(
+            np.asarray(chain_dot(chain_from_mps(probe, mesh), got_c, mesh))
+        )
+        ov_want = complex(np.asarray(mpsop.mps_dot(probe, want)))
+        assert abs(ov_got - ov_want) < 1e-10
+
+    def test_objective_value_parity(self):
+        # End-to-end objective: <lvec | V† phi> computed fully sharded.
+        rng = np.random.default_rng(72)
+        n, chi = 8, 16
+        circ = TrotterAnsatz.make(n, make_trotter_like_circuit(n, 2), True)
+        thetas = jnp.asarray(rng.uniform(-np.pi, np.pi, circ.num_thetas))
+        lvec = _random_mps(rng, n, chi)
+        phi = _random_mps(rng, n, chi)
+        mesh = _mesh(4)
+        vh_c = chain_v_dagger_mul_mps(
+            circ, thetas, chain_from_mps(phi, mesh), mesh
+        )
+        got = complex(
+            np.asarray(chain_dot(chain_from_mps(lvec, mesh), vh_c, mesh))
+        )
+        want = complex(
+            np.asarray(
+                mpsop.mps_dot(lvec, mpsop.v_dagger_mul_mps(circ, thetas, phi))
+            )
+        )
+        assert abs(got - want) < 1e-10
