@@ -178,6 +178,26 @@ def svd_chunk() -> int | None:
     return _SVD_CHUNK
 
 
+_JACOBI_CRITERION = os.environ.get("AQC_TPU_JACOBI_CRITERION", "entry")
+
+
+def set_jacobi_criterion(criterion: str | None) -> None:
+    """f32 adaptive-sweep convergence criterion for the Jacobi kernels:
+    "entry" (round-3 default; fast, but a cut inside a high-condition
+    degenerate cluster can keep contaminated small columns — see
+    ops/jacobi_svd._phase_update) or "hybrid" (relative-grade orthogonality
+    above the 32*eps kill floor; fixes the contamination caveat at the cost
+    of extra sweeps where small KEPT columns converge slowly).  Read at
+    TRACE time; jax.clear_caches() after switching."""
+    global _JACOBI_CRITERION
+    assert criterion in (None, "entry", "hybrid")
+    _JACOBI_CRITERION = criterion or "entry"
+
+
+def jacobi_criterion() -> str:
+    return _JACOBI_CRITERION
+
+
 _FUSED_PAIR: bool | None = {"1": True, "0": False}.get(
     os.environ.get("AQC_TPU_FUSED_PAIR", "")
 )

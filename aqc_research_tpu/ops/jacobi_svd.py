@@ -89,7 +89,17 @@ def _phase_update(al, ar, vl, vr, eps, criterion="relative"):
       tol * s_max.  Pairs of about-to-be-truncated junk columns (mutual
       angles O(1), values < eps * s_max) no longer gate convergence —
       measured on real mid-optimization pair matrices they are what forces
-      the relative criterion to 10-12 sweeps.
+      the relative criterion to 10-12 sweeps.  CAVEAT (round-4 measurement):
+      for a SMALL KEPT column this permits contamination by a large kept
+      direction up to tol*s_max/|w_j| relative, which the diag(1/s) vh
+      recovery amplifies back to O(tol*s_max*(s_i/s_j)) reconstruction
+      error — a cut inside a high-condition degenerate cluster can see
+      ~30x-optimal discarded weight (tests/test_truncation.py).
+    * ``"hybrid"``: ``|c| / (s_max * max(min(|w_i|,|w_j|), 32*eps*s_max))``
+      — relative-grade orthogonality for every column ABOVE the kernel's
+      kill floor (32*eps*s_max, below which directions are zeroed anyway),
+      entry-absolute against the floor for killed junk.  Fixes the "entry"
+      caveat while keeping the junk-tail exemption that made "entry" fast.
     """
     a = jnp.sum(jnp.abs(al) ** 2, axis=-2)  # (..., p) real
     b = jnp.sum(jnp.abs(ar) ** 2, axis=-2)
@@ -100,6 +110,12 @@ def _phase_update(al, ar, vl, vr, eps, criterion="relative"):
             jnp.maximum(a.real, b.real), axis=-1, keepdims=True
         )
         denom2 = smax2 * jnp.maximum(a.real, b.real)
+    elif criterion == "hybrid":
+        smax2 = jnp.max(
+            jnp.maximum(a.real, b.real), axis=-1, keepdims=True
+        )
+        floor2 = (32.0 * eps) ** 2 * smax2
+        denom2 = smax2 * jnp.maximum(jnp.minimum(a.real, b.real), floor2)
     else:
         denom2 = a.real * b.real
     resid = jnp.max(jnp.abs(c) / jnp.sqrt(jnp.maximum(denom2, 1e-30)))
@@ -164,7 +180,9 @@ def jacobi_svd(
     # values to rtol 1e-10, which the entry criterion does not promise.
     is_f32 = rdtype == jnp.dtype(jnp.float32)
     conv_tol = 1e-6 if is_f32 else 1e-13
-    criterion = "entry" if is_f32 else "relative"
+    from ..config import jacobi_criterion
+
+    criterion = jacobi_criterion() if is_f32 else "relative"
 
     def one_phase(carry, _):
         al, ar, vl, vr, resid = carry
@@ -230,7 +248,9 @@ def jacobi_sweeps_used(
     is_f32 = rdtype == jnp.dtype(jnp.float32)
     conv_tol = 1e-6 if is_f32 else 1e-13
     if criterion is None:  # match what jacobi_svd / the kernel would run
-        criterion = "entry" if is_f32 else "relative"
+        from ..config import jacobi_criterion
+
+        criterion = jacobi_criterion() if is_f32 else "relative"
 
     al, ar = m[..., :, :p], m[..., :, p:]
 

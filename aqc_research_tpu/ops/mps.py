@@ -271,7 +271,20 @@ def _truncated_svd(m: jax.Array, chi: int, trunc_thr: float):
         # heads) fall back to the plain kernel in both variants.
         from ..config import jacobi_sweeps
         from .jacobi_svd import DEFAULT_SWEEPS, jacobi_svd_top_k
-        from .pallas_jacobi import jacobi_svd_pallas_top_k
+        from .pallas_jacobi import jacobi_svd_pallas_top_k, truncation_supported
+
+        if jnp.dtype(m.dtype) == jnp.complex64 and not truncation_supported(
+            trunc_thr
+        ):
+            import warnings
+
+            warnings.warn(
+                f"trunc_thr={trunc_thr:g} is finer than the f32 Jacobi "
+                f"convergence tolerance resolves (supported: >= 1e-12, or "
+                f"<= f32-eps^2 to disable truncation); keep/drop decisions "
+                f"near the boundary are unreliable at this threshold",
+                stacklevel=3,
+            )
 
         sweeps = jacobi_sweeps() or DEFAULT_SWEEPS
         if impl == "rand":

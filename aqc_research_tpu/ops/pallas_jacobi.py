@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import jacobi_criterion
 from .jacobi_svd import DEFAULT_SWEEPS
 
 _EPS32 = float(jnp.finfo(jnp.float32).eps)
@@ -91,6 +92,31 @@ def _pick_chunk(b: int, n: int, rows: int | None = None) -> int:
 # matrices where this criterion needs 4-8; see RESULTS.md.)
 _CONV_TOL = 1e-6
 
+# Coupling to the truncation threshold (VERDICT r3 weak #7): a tol-converged
+# factorization perturbs singular values by O(_CONV_TOL * s_max), while the
+# discarded-weight rule compares s_i^2 / total against trunc_thr — the
+# keep/drop boundary sits at amplitude ~ sqrt(trunc_thr) * s_max.  The
+# decision is trustworthy when sqrt(trunc_thr) >> _CONV_TOL: production
+# trunc_thr = 1e-6 has a 1000x margin, 1e-8 still 100x.  It degrades only
+# for trunc_thr < _CONV_TOL**2 = 1e-12 — and thresholds at/below
+# eps_f32**2 ~ 1.4e-14 cannot truncate anything f32 resolves anyway (the
+# no-truncation sentinel lives there).  The criterion is therefore
+# tolerance-safe across the whole f32-representable truncation regime;
+# truncation_supported() makes the contract explicit, and the engine warns
+# at trace time when a threshold lands in the unsupported (1.4e-14, 1e-12)
+# window.
+
+
+def truncation_supported(trunc_thr: float) -> bool:
+    """True when the f32 entry-absolute convergence criterion resolves the
+    keep/drop boundary of ``trunc_thr`` (see the coupling note above).
+    Thresholds at/below eps_f32**2 disable truncation in f32 and are
+    trivially safe."""
+    import math
+
+    eps2 = float(jnp.finfo(jnp.float32).eps) ** 2
+    return trunc_thr <= eps2 or math.sqrt(trunc_thr) >= _CONV_TOL
+
 
 def _adaptive_seat_sweeps(wl_re, wl_im, wr_re, wr_im, max_sweeps: int):
     """Adaptive Brent-Luk sweep loop on seat VALUES (the in-kernel core).
@@ -126,7 +152,16 @@ def _adaptive_seat_sweeps(wl_re, wl_im, wr_re, wr_im, max_sweeps: int):
         norm_ab = jnp.sqrt(jnp.maximum(aa * bb, 1e-30))
         max_ab = jnp.maximum(aa, bb)
         smax2 = jnp.max(max_ab, axis=1, keepdims=True)  # (b, 1) per matrix
-        denom = jnp.sqrt(jnp.maximum(smax2 * max_ab, 1e-30))
+        if jacobi_criterion() == "hybrid":
+            # Relative-grade orthogonality for columns above the kill floor
+            # (32*eps*s_max — directions below it are zeroed after the
+            # loop), entry-absolute against the floor for killed junk.  See
+            # ops/jacobi_svd._phase_update for the contamination analysis.
+            floor2 = (32.0 * _EPS32) ** 2 * smax2
+            gate = jnp.maximum(jnp.minimum(aa, bb), floor2)
+        else:  # "entry"
+            gate = max_ab
+        denom = jnp.sqrt(jnp.maximum(smax2 * gate, 1e-30))
         resid = jnp.maximum(resid, jnp.max(abs_c / denom))
         active = abs_c > _EPS32 * norm_ab
         safe_c = jnp.where(active, abs_c, 1.0)

@@ -61,6 +61,12 @@ step "jacobi 20q init"      python benchmarks/bench_mps.py 20 64 4 1
 step "jacobi 20q perturbed" python benchmarks/bench_mps.py 20 64 4 1 --perturb=0.05
 step "jacobi 28q init"      python benchmarks/bench_mps.py 28 128 4 1
 step "jacobi 28q perturbed" python benchmarks/bench_mps.py 28 128 4 1 --perturb=0.05
+# Hybrid convergence criterion (round-4: fixes the degenerate-cut
+# contamination; costs ~+30% sweeps on the synthetic graded+junk model —
+# measure the REAL-matrix cost + convergence band before any default flip).
+step "jacobi-hybrid 20q init"      env AQC_TPU_JACOBI_CRITERION=hybrid python benchmarks/bench_mps.py 20 64 4 1
+step "jacobi-hybrid 20q perturbed" env AQC_TPU_JACOBI_CRITERION=hybrid python benchmarks/bench_mps.py 20 64 4 1 --perturb=0.05
+step "jitloop 16q chi=64 hybrid"   env AQC_TPU_JACOBI_CRITERION=hybrid python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 # Rand roofline: measured rand sweep + the model's reduced-problem bound.
 step "roofline 20q rand"    env AQC_TPU_SVD_IMPL=rand python -m aqc_research_tpu.ops.roofline 20 64 4
 # Headline refresh in the same tunnel window.
