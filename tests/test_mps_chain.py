@@ -346,3 +346,108 @@ class TestChainVdagger:
             )
         )
         assert abs(got - want) < 1e-10
+
+
+class TestChainCollectiveProfile:
+    """Pinned compiled-HLO collective profile of the chain engine (the
+    SURVEY §5 ring contract): ZERO all-gathers — no program ever
+    rematerializes the full state — and only the designed O(chi^2)
+    ppermute ring traffic."""
+
+    @staticmethod
+    def _counts(compiled_text):
+        import collections
+        import re
+
+        return collections.Counter(
+            re.findall(
+                r"^\s*(?:ROOT )?%?[\w.-]+ = \S+ ([\w-]+)\(",
+                compiled_text,
+                re.M,
+            )
+        )
+
+    def test_apply_pairs_profile_odd_parity(self):
+        # Odd parity is the halo-heaviest path: lam-left in, (Gamma0,
+        # lambda0) from the right, updated straddling Gamma0 back.
+        rng = np.random.default_rng(81)
+        n, chi, ndev = 16, 8, 4
+        mps = _random_mps(rng, n, chi)
+        mesh = _mesh(ndev)
+        cmps = chain_from_mps(mps, mesh)
+        gates = _random_gates(rng, 7)
+        dense, active, parity = pairs_to_dense(
+            n, gates, [1, 3, 5, 7, 9, 11, 13], cmps.gammas.dtype
+        )
+        assert parity == 1
+
+        def f(g, l, gd, act):
+            out = chain_apply_pairs(ChainMPS(g, l), gd, act, 1, mesh)
+            return out.gammas, out.lam_r
+
+        txt = (
+            jax.jit(f)
+            .lower(cmps.gammas, cmps.lam_r, dense, active)
+            .compile()
+            .as_text()
+        )
+        counts = self._counts(txt)
+        assert counts.get("all-gather", 0) == 0, counts
+        assert counts.get("all-gather-start", 0) == 0, counts
+        assert counts.get("all-to-all", 0) == 0, counts
+        # Designed halos: lam-left, Gamma0+lambda0 right-to-left, Gamma0
+        # back — XLA may split or fuse them, so pin a tight range.
+        cp = counts.get("collective-permute", 0) + counts.get(
+            "collective-permute-start", 0
+        )
+        assert 1 <= cp <= 8, counts
+
+    def test_dot_profile_ring(self):
+        rng = np.random.default_rng(82)
+        n, chi, ndev = 16, 8, 4
+        a = chain_from_mps(_random_mps(rng, n, chi), _mesh(ndev))
+        mesh = _mesh(ndev)
+
+        def f(ga, la, gb, lb):
+            return chain_dot(ChainMPS(ga, la), ChainMPS(gb, lb), mesh)
+
+        txt = (
+            jax.jit(f)
+            .lower(a.gammas, a.lam_r, a.gammas, a.lam_r)
+            .compile()
+            .as_text()
+        )
+        counts = self._counts(txt)
+        assert counts.get("all-gather", 0) == 0, counts
+        assert counts.get("all-to-all", 0) == 0, counts
+        # The ring: one chi x chi env handoff per round (P rounds), plus
+        # the final scalar psum (all-reduce).
+        cp = counts.get("collective-permute", 0) + counts.get(
+            "collective-permute-start", 0
+        )
+        assert 1 <= cp <= ndev + 1, counts
+
+    def test_env_stacks_profile(self):
+        rng = np.random.default_rng(83)
+        n, chi, ndev = 16, 8, 4
+        mesh = _mesh(ndev)
+        w = chain_from_mps(_random_mps(rng, n, chi), mesh)
+
+        def f(gw, lw, gz, lz):
+            return chain_env_stacks(
+                ChainMPS(gw, lw), ChainMPS(gz, lz), mesh
+            )
+
+        txt = (
+            jax.jit(f)
+            .lower(w.gammas, w.lam_r, w.gammas, w.lam_r)
+            .compile()
+            .as_text()
+        )
+        counts = self._counts(txt)
+        assert counts.get("all-gather", 0) == 0, counts
+        cp = counts.get("collective-permute", 0) + counts.get(
+            "collective-permute-start", 0
+        )
+        # Two pipelines (left + right) of P handoffs each.
+        assert 2 <= cp <= 2 * ndev + 2, counts
