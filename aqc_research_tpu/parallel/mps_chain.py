@@ -697,6 +697,80 @@ def chain_fast_dot_gradient(
     return jnp.concatenate([grad1q.reshape(-1), grad2q.reshape(-1)])
 
 
+def chain_asp_objective_and_gradient(
+    circ,
+    thetas,
+    lvec: ChainMPS,
+    phi: ChainMPS,
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    trunc_thr: float = no_truncation_threshold(),
+):
+    """ASP fidelity objective ``1 - |<lvec | V†(Θ) phi>|²`` and its real
+    analytic gradient, with EVERY state, environment stack, and pair batch
+    site-sharded — per-device memory ~1/P across the full pipeline.
+
+    The sharded twin of the replicated value/gradient contract used by the
+    jitted optimizer (models/sp_lhs/jit_asp.py): V† sweep, overlap, and the
+    layered co-sweep gradient all route through this module's ring/halo
+    primitives.  Jit-compatible (one program per circuit)."""
+    vh = chain_v_dagger_mul_mps(
+        circ, thetas, phi, mesh, axis=axis, trunc_thr=trunc_thr
+    )
+    dot = chain_dot(lvec, vh, mesh, axis=axis)  # <lvec | V† phi>
+    grad_c = chain_fast_dot_gradient(
+        circ, thetas, lvec, vh, mesh, axis=axis, trunc_thr=trunc_thr
+    )
+    fobj = 1.0 - jnp.abs(dot) ** 2
+    grad = jnp.real(-2.0 * jnp.conj(dot) * grad_c)
+    return jnp.real(fobj).astype(grad.dtype), grad
+
+
+def chain_optimize_horizon(
+    circ,
+    thetas0,
+    lvec: ChainMPS,
+    phi: ChainMPS,
+    mesh: Mesh,
+    *,
+    axis: str = "sp",
+    trunc_thr: float = no_truncation_threshold(),
+    maxiter: int = 50,
+    fobj_thr: float | None = None,
+):
+    """Jitted compact L-BFGS over the memory-sharded ASP objective: the
+    whole optimization — V† sweeps, ring environments, halo pair updates,
+    co-sweep gradients, the two-loop/Armijo optimizer — is ONE XLA program
+    over the mesh.  The sharded counterpart of
+    models/sp_lhs/jit_asp.optimize_horizon_mps_jit."""
+    from ..optim.lbfgs import minimize_lbfgs_compact
+
+    def vgrad(th):
+        return chain_asp_objective_and_gradient(
+            circ, th, lvec, phi, mesh, axis=axis, trunc_thr=trunc_thr
+        )
+
+    def value_only(th):
+        # Linesearch trials need only the forward V† sweep + overlap.
+        vh = chain_v_dagger_mul_mps(
+            circ, th, phi, mesh, axis=axis, trunc_thr=trunc_thr
+        )
+        dot = chain_dot(lvec, vh, mesh, axis=axis)
+        return (1.0 - jnp.abs(dot) ** 2).real.astype(th.dtype)
+
+    def run(th0):
+        return minimize_lbfgs_compact(
+            value_only,
+            th0,
+            maxiter=maxiter,
+            fobj_thr=fobj_thr,
+            value_and_grad_fn=vgrad,
+        )
+
+    return jax.jit(run)(jnp.asarray(thetas0))
+
+
 def chain_v_dagger_mul_mps(
     circ,
     thetas,
