@@ -478,7 +478,80 @@ def main(num_qubits=20, chi=64, layers=4):
     )
 
 
+# Attainable rates measured on the production chip (RESULTS.md round 3,
+# on-chip microbenchmarks amortizing the tunnel dispatch).  Used by
+# :func:`predict` when no live chip is available.
+PINNED_ATTAINABLE = {"vpu_gflops": 1163.0, "mxu_gflops": 39500.0, "hbm_gbps": 562.0}
+
+
+def predict(
+    num_qubits: int,
+    chi: int,
+    layers: int = 4,
+    *,
+    impl: str = "jacobi",
+    sweeps_by_stage: Dict[str, float] | None = None,
+    attainable: Dict[str, float] | None = None,
+    ndev: int = 1,
+) -> str:
+    """Model-only roofline PREDICTION at a shape (no chip required): the
+    scale-wall extension of the measured report (VERDICT r3 item 9).
+
+    Uses the same census/FLOP model as the measured report with pinned
+    attainable rates and stage sweep counts defaulting to the round-3
+    perturbed-point captures (vdag 10, grad 6.5, value 2.5 — real-matrix
+    means; pass ``sweeps_by_stage`` to override).  ``ndev`` reports the
+    chain-sharded per-device state memory (parallel/mps_chain.py) next to
+    the single-chip footprint — the memory wall the sharding removes."""
+    from ..circuit.ansatz import TrotterAnsatz
+    from ..circuit.structures import make_trotter_like_circuit
+
+    att = dict(PINNED_ATTAINABLE, **(attainable or {}))
+    sbs = sweeps_by_stage or {"vdag": 10.0, "grad": 6.5, "value": 2.5}
+    circ = TrotterAnsatz.make(
+        num_qubits, make_trotter_like_circuit(num_qubits, layers), True
+    )
+    census = decomposition_census(circ, chi)
+    og = {k: v for k, v in census.items() if k in ("vdag", "grad")}
+    vpu_og, mxu_og = sweep_flops(og, sbs, impl)
+    t_vpu = vpu_og / (att["vpu_gflops"] * 1e9)
+    t_mxu = mxu_og / (att["mxu_gflops"] * 1e9)
+    bound = t_vpu + t_mxu
+    hbm_bytes = sweep_hbm_bytes(og)
+    t_hbm = hbm_bytes / (att["hbm_gbps"] * 1e9)
+    st = state_bytes(num_qubits, chi)
+    # Working set of one decomposition phase: theta batch + factors + the
+    # kernel's seat planes (~6x theta in f32 planes).
+    worst_phase = max(
+        (b * (2 * (n**2)) * 8 * 4 for b, n in sum(og.values(), [])),
+        default=0.0,
+    )
+    lines = [
+        f"### Roofline PREDICTION: {num_qubits}q chi={chi}, {layers}-layer "
+        f"Trotter (impl {impl}; pinned attainable rates, assumed sweeps "
+        f"{sbs})",
+        f"Executed work per obj+grad sweep (model): kernel "
+        f"{vpu_og / 1e9:.1f} GFLOP (VPU) + matmuls {mxu_og / 1e9:.1f} GFLOP "
+        f"(MXU); HBM traffic ~{hbm_bytes / 1e6:.0f} MB.",
+        f"Ceilings: VPU {t_vpu * 1e3:.1f} ms + MXU {t_mxu * 1e3:.1f} ms = "
+        f"{bound * 1e3:.1f} ms -> {1.0 / bound:.2f} sweeps/s; HBM floor "
+        f"{t_hbm * 1e3:.2f} ms.",
+        f"Memory: state (2 copies w/z + grads ~4x) "
+        f"{4 * st / 1e6:.0f} MB single chip; worst phase working set "
+        f"~{worst_phase / 1e6:.0f} MB; chain-sharded per-device state "
+        f"(~1/{ndev}) {4 * st / ndev / 1e6:.0f} MB."
+        if ndev > 1
+        else f"Memory: state (w/z + grad copies ~4x) {4 * st / 1e6:.0f} MB "
+        f"single chip; worst phase working set ~{worst_phase / 1e6:.0f} MB.",
+    ]
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
     import sys
 
-    main(*[int(a) for a in sys.argv[1:4]])
+    if "--predict" in sys.argv:
+        args = [int(a) for a in sys.argv[1:] if a.isdigit()]
+        print(predict(*args[:3]))
+    else:
+        main(*[int(a) for a in sys.argv[1:4]])
