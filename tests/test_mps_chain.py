@@ -188,6 +188,67 @@ class TestChainApplyPairs:
         self_ov = complex(np.asarray(mpsop.mps_dot(mps, mps)))
         assert abs(ov - self_ov) < 1e-10
 
+    def test_chain_composes_with_fused_kernels(self):
+        """The fused Pallas routes (fused_pair / fused_rand) compose with
+        the memory-sharded chain engine: the halo pair updates call the
+        shared ops.mps._pair_update, so the per-device batched decomposition
+        routes into a pallas_call per shard (interpret mode here — the same
+        program structure the TPU compiles).  Parity vs the UNSHARDED
+        native-impl reference on the physical state (gauge-free: different
+        impls rotate degenerate factors, so raw tensors are NOT comparable).
+        Odd pairs straddle block boundaries, so the fused routes also run
+        through the halo-exchange path."""
+        from aqc_research_tpu.config import (
+            set_fused_pair,
+            set_precision,
+            set_svd_impl,
+        )
+        from aqc_research_tpu.ops import rand_svd
+        from aqc_research_tpu.ops.mps import mps_to_vector
+
+        set_precision("fast")  # the fused paths are c64-only by design
+        saved_min_n = rand_svd.RAND_MIN_N
+        try:
+            rng = np.random.default_rng(61)
+            n, chi, ndev = 8, 16, 4
+            mps = _random_mps(rng, n, chi)
+            los = [1, 3, 5]  # all straddle blocks at m=2
+            gates = _random_gates(rng, len(los))
+
+            set_svd_impl("native")
+            jax.clear_caches()
+            ref = np.asarray(
+                mps_to_vector(
+                    mpsop.apply_pairs_mps(mps, gates, tuple(los), trunc_thr=1e-6)
+                )
+            )
+
+            mesh = _mesh(ndev)
+            rand_svd.RAND_MIN_N = 2 * chi  # activate rand at this test size
+            for impl in ("jacobi", "rand"):
+                set_svd_impl(impl)
+                set_fused_pair(True)
+                jax.clear_caches()
+                cmps = chain_from_mps(mps, mesh)
+                dense, active, parity = pairs_to_dense(
+                    n, gates, los, cmps.gammas.dtype
+                )
+                got = chain_to_mps(
+                    chain_apply_pairs(
+                        cmps, dense, active, parity, mesh, trunc_thr=1e-6
+                    )
+                )
+                np.testing.assert_allclose(
+                    np.asarray(mps_to_vector(got)), ref, atol=5e-5,
+                    err_msg=f"chain fused impl={impl}",
+                )
+        finally:
+            rand_svd.RAND_MIN_N = saved_min_n
+            set_fused_pair(None)
+            set_svd_impl(None)
+            set_precision("high")
+            jax.clear_caches()
+
 
 # -----------------------------------------------------------------------------
 # Phase B: environment pipelines + the sharded layered co-sweep gradient.
