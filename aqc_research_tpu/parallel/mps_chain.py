@@ -113,6 +113,19 @@ def chain_to_mps(cmps: ChainMPS) -> MPS:
     return MPS(cmps.gammas, cmps.lam_r[:-1])
 
 
+def chain_bytes_per_device(cmps: ChainMPS) -> tuple[int, int]:
+    """(max addressable bytes on any one device, global bytes) of the chain
+    state — the memory-scaling contract is per-device ≈ global / P.  Useful
+    for sizing χ/n against per-chip HBM before launching a sharded run."""
+    per_dev: dict[int, int] = {}
+    total = 0
+    for arr in (cmps.gammas, cmps.lam_r):
+        total += arr.nbytes
+        for s in arr.addressable_shards:
+            per_dev[s.device.id] = per_dev.get(s.device.id, 0) + s.data.nbytes
+    return max(per_dev.values()), total
+
+
 def chain_dot(a: ChainMPS, b: ChainMPS, mesh: Mesh, *, axis: str = "sp"):
     """``<a | b>`` via the ring-pipelined transfer contraction.
 

@@ -69,6 +69,29 @@ class TestRepresentation:
         }
         assert shard_shapes == {(2, 2, 4, 4)}
 
+    def test_bytes_per_device_scaling(self):
+        """The memory-scaling contract, measured: each device holds exactly
+        global/P bytes of the chain state, and a sharded half-layer update
+        KEEPS the output site-sharded (no silent replication)."""
+        from aqc_research_tpu.parallel.mps_chain import chain_bytes_per_device
+
+        rng = np.random.default_rng(10)
+        n, chi, ndev = 8, 8, 4
+        mps = _random_mps(rng, n, chi)
+        mesh = _mesh(ndev)
+        cmps = chain_from_mps(mps, mesh)
+        per_dev, total = chain_bytes_per_device(cmps)
+        assert per_dev * ndev == total
+
+        gates = _random_gates(rng, 3)
+        dense, active, parity = pairs_to_dense(n, gates, [1, 3, 5], cmps.gammas.dtype)
+        out = chain_apply_pairs(cmps, dense, active, parity, mesh, trunc_thr=1e-8)
+        out_per_dev, out_total = chain_bytes_per_device(out)
+        assert out_per_dev * ndev == out_total
+        assert {s.data.shape for s in out.gammas.addressable_shards} == {
+            (n // ndev, 2, chi, chi)
+        }
+
     def test_block_size_contract(self):
         rng = np.random.default_rng(9)
         mps = _random_mps(rng, 6, 4)
