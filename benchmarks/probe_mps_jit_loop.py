@@ -37,7 +37,13 @@ from aqc_research_tpu.models.sp_lhs.jit_asp import optimize_horizon_mps_jit
 from aqc_research_tpu.utils import to_host
 
 
-def main(num_qubits: int = 12, chi: int = 32, layers: int = 2, maxiter: int = 20):
+def main(
+    num_qubits: int = 12,
+    chi: int = 32,
+    layers: int = 2,
+    maxiter: int = 20,
+    trunc_thr: float = 1e-8,
+):
     evol_time, delta = 0.6, 1.0
     circ = TrotterAnsatz.make(
         num_qubits, make_trotter_like_circuit(num_qubits, layers), True
@@ -57,7 +63,7 @@ def main(num_qubits: int = 12, chi: int = 32, layers: int = 2, maxiter: int = 20
         num_steps=3,
         delta=delta,
         second_order=True,
-    ).as_mps(ini, trunc_thr=1e-8, chi_max=chi)
+    ).as_mps(ini, trunc_thr=trunc_thr, chi_max=chi)
 
     tic = time.perf_counter()
     res = optimize_horizon_mps_jit(
@@ -65,7 +71,7 @@ def main(num_qubits: int = 12, chi: int = 32, layers: int = 2, maxiter: int = 20
         jnp.asarray(thetas0),
         target,
         base_bits=base_bits,
-        trunc_thr=1e-8,
+        trunc_thr=trunc_thr,
         maxiter=maxiter,
     )
     fobj = float(np.asarray(res.fobj))  # FETCH — the real failure surface
@@ -86,5 +92,10 @@ def main(num_qubits: int = 12, chi: int = 32, layers: int = 2, maxiter: int = 20
 
 
 if __name__ == "__main__":
+    thr = 1e-8
+    for a in list(sys.argv[1:]):
+        if a.startswith("--thr="):
+            thr = float(a.split("=", 1)[1])
+            sys.argv.remove(a)
     args = [int(a) for a in sys.argv[1:5]]
-    main(*args)
+    main(*args, trunc_thr=thr)
