@@ -26,7 +26,11 @@ if "--cpu" in sys.argv:  # force the CPU backend (sitecustomize pins axon)
 
     jax.config.update("jax_platforms", "cpu")
 
-set_precision("fast" if is_tpu() else "high")
+if "--fast" in sys.argv:  # f32 on CPU: reproduce TPU-precision failures off-chip
+    sys.argv.remove("--fast")
+    set_precision("fast")
+else:
+    set_precision("fast" if is_tpu() else "high")
 
 import jax.numpy as jnp
 

@@ -33,7 +33,11 @@ if "--cpu" in sys.argv:
 
     jax.config.update("jax_platforms", "cpu")
 
-set_precision("fast" if is_tpu() else "high")
+if "--fast" in sys.argv:
+    sys.argv.remove("--fast")
+    set_precision("fast")
+else:
+    set_precision("fast" if is_tpu() else "high")
 
 import jax
 import jax.numpy as jnp
