@@ -22,6 +22,12 @@ step() {
   echo "[exit $?]" >> "$LOG"
 }
 
+# Primitive discriminators first (cheap): batched complex QR orthonormality
+# + rand_svd_top_k on synthetic rank-deficient/graded matrices.  CPU
+# reference: QR resid 7e-7; recon errs 4e-7 / 5e-7 / 9.6e-3, orth 5e-7.
+step "on-chip primitives (QR + rand_svd_top_k)" \
+  python benchmarks/probe_tpu_rand_prims.py
+
 # CPU f32 reference for the same probe: jacobi/rand agree at ~5e-6
 # (value(x0)=0.5884).  Any TPU line far from that localizes the failure.
 step "rand q=1 unfused (the failing variant)" \
