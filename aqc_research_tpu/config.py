@@ -115,9 +115,15 @@ def set_svd_impl(impl: str | None) -> None:
       the VPU flops at the chi=64 pair shape, junk tail projected out
       before the kernel.  f32/c64 production path; matrices below
       rand_svd.RAND_MIN_N fall back to "jacobi".
-    * ``None``     — auto: "jacobi" on TPU-like backends (measured 1.8x the
-      gram impl on the 20q chi=64 MPS sweep with the adaptive sweep loop,
-      and convergence-validated in the jitted L-BFGS), "native" elsewhere.
+    * ``None``     — auto: "rand" on TPU-like backends ("jacobi" engages
+      automatically below rand_svd.RAND_MIN_N, i.e. 2chi < 128; the round-4
+      on-chip A/B measured rand at 1.45x jacobi on the 20q chi=64 perturbed
+      sweep and 1.45x/2.5x at 28q chi=128 init/perturbed, with the fused
+      route convergence-validated in the 16q jitted L-BFGS), "native"
+      elsewhere.  On TPU the rand route runs through the fused-rand
+      megakernel at every eligible chi (see fused_rand_enabled) — the
+      UNFUSED rand route has a known TPU-only mid-optimization failure at
+      16q chi=64 (RESULTS.md round-4; CPU is unaffected).
 
     The choice is read at TRACE time — call ``jax.clear_caches()`` after
     switching if programs were already compiled.
@@ -132,7 +138,7 @@ def svd_impl() -> str:
     """The MPS truncated-SVD implementation in effect (see set_svd_impl)."""
     if _SVD_IMPL is not None:
         return _SVD_IMPL
-    return "jacobi" if is_tpu() else "native"
+    return "rand" if is_tpu() else "native"
 
 
 _JACOBI_SWEEPS = int(os.environ.get("AQC_TPU_JACOBI_SWEEPS", "0")) or None
@@ -223,6 +229,9 @@ def set_fused_pair(enabled: bool | None) -> None:
       measured a win (+9.5% at chi=128; a wash at 64 — see above); off on
       CPU (env override AQC_TPU_FUSED_PAIR=1/0).
 
+    The same override also gates the fused-rand route (see
+    :func:`fused_rand_enabled`, whose AUTO policy differs: all chi >= 8).
+
     Read at TRACE time; jax.clear_caches() after switching."""
     global _FUSED_PAIR
     _FUSED_PAIR = enabled
@@ -233,6 +242,24 @@ def fused_pair_enabled(chi: int | None = None) -> bool:
     if _FUSED_PAIR is not None:
         return _FUSED_PAIR
     return is_tpu() and chi is not None and chi >= _FUSED_PAIR_MIN_CHI
+
+
+def fused_rand_enabled(chi: int | None = None) -> bool:
+    """Whether the fused-rand megakernel should run at this bond dimension
+    when ``svd_impl() == "rand"``.
+
+    Unlike :func:`fused_pair_enabled` (jacobi impl: fused only pays at
+    chi >= 96), the rand route uses the fused kernel at EVERY eligible chi
+    on TPU: the round-4 on-chip A/B measured fused-rand >= unfused rand at
+    both production shapes (20q chi=64: 33.1/33.2 vs 32.2/32.1 sweeps/s;
+    28q chi=128: 10.2/10.1 vs 10.0/10.0), and — decisively — the unfused
+    rand route has a known TPU-only mid-optimization failure (16q chi=64
+    jitted L-BFGS lands fobj=1.0; the fused route lands in the jacobi band,
+    RESULTS.md round-4).  The explicit set_fused_pair(True/False) override
+    still wins, so the unfused route stays reachable for probes."""
+    if _FUSED_PAIR is not None:
+        return _FUSED_PAIR
+    return is_tpu() and chi is not None and chi >= 8
 
 
 def set_eigh_svd(enabled: bool | None) -> None:

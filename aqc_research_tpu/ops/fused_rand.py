@@ -24,8 +24,10 @@ against the FULL theta Frobenius weight (ops/mps._pair_update) — pass A's
 output provides it (one XLA reduction), and it rides into pass C in SMEM.
 
 Same contract as ops/fused_pair.fused_pair_update; selected by
-ops/mps._pair_update when ``svd_impl() == "rand"``, the fused-pair policy is
-enabled for this chi (config.fused_pair_enabled), and the matrix is large
+ops/mps._pair_update when ``svd_impl() == "rand"``, the fused-rand policy is
+enabled for this chi (config.fused_rand_enabled — auto on TPU at every
+chi >= 8, because the unfused rand route has a known TPU-only
+mid-optimization failure, RESULTS.md round-4), and the matrix is large
 enough for the projection to pay (rand_svd.RAND_MIN_N).  f32/c64 only.
 
 Replaced reference workload: the per-gate Aer C++ truncated SVD,

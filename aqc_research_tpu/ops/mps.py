@@ -373,7 +373,7 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
     the batched Jacobi kernel amortize a half-layer of pair updates into a
     single Pallas program instead of P serial decompositions.
     """
-    from ..config import fused_pair_enabled, svd_impl
+    from ..config import fused_pair_enabled, fused_rand_enabled, svd_impl
 
     if (
         fused_pair_enabled(chi)
@@ -394,7 +394,7 @@ def _pair_update(lam_l, lam_c, lam_r, g1, g2, gate4, chi, trunc_thr, dtype, rdty
         )
 
     if (
-        fused_pair_enabled(chi)
+        fused_rand_enabled(chi)
         and svd_impl() == "rand"
         and chi >= 8
         and chi % 8 == 0

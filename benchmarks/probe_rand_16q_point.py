@@ -74,22 +74,25 @@ def main(num_qubits=16, chi=64, layers=2, trunc_thr=1e-8):
     ).as_mps(ini, trunc_thr=trunc_thr, chi_max=chi)
     lvec = mps_basis_state(base_bits, chi, target.gammas.dtype)
 
+    # target/lvec are device-resident complex pytrees: they must be passed as
+    # traced arguments, NOT closed over (jit closure => MLIR constant
+    # embedding => host fetch of c64 => UNIMPLEMENTED on the axon backend).
     @jax.jit
-    def value(th):
+    def value(th, tgt):
         w = v_mul_mps_growing(
             circ, th, base_bits, chi, trunc_thr=trunc_thr,
             dtype=target.gammas.dtype,
         )
-        hs = mps_dot(w, target)
+        hs = mps_dot(w, tgt)
         return (1.0 - jnp.abs(hs) ** 2).real
 
     @jax.jit
-    def value_and_grad(th):
-        vh, zcache = v_dagger_mul_mps_layers(circ, th, target, trunc_thr=trunc_thr)
+    def value_and_grad(th, tgt, lv):
+        vh, zcache = v_dagger_mul_mps_layers(circ, th, tgt, trunc_thr=trunc_thr)
         grad, w_fin = fast_dot_gradient_with_state(
-            circ, th, lvec, vh, zcache, trunc_thr=trunc_thr, grow_w=True
+            circ, th, lv, vh, zcache, trunc_thr=trunc_thr, grow_w=True
         )
-        hs0 = mps_dot(w_fin, target)
+        hs0 = mps_dot(w_fin, tgt)
         fobj = (1.0 - jnp.abs(hs0) ** 2).real
         return fobj, jnp.real(-2.0 * jnp.conj(hs0) * grad)
 
@@ -97,14 +100,14 @@ def main(num_qubits=16, chi=64, layers=2, trunc_thr=1e-8):
         set_svd_impl(impl)
         jax.clear_caches()
         tic = time.perf_counter()
-        f0 = float(np.asarray(value(thetas0)))
-        fg0, g0 = value_and_grad(thetas0)
+        f0 = float(np.asarray(value(thetas0, target)))
+        fg0, g0 = value_and_grad(thetas0, target, lvec)
         fg0 = float(np.asarray(fg0))
         g0h = np.asarray(g0)
         gn0 = float(np.linalg.norm(g0h))
         step = thetas0 - jnp.asarray(0.05 / max(gn0, 1e-9), jnp.float32) * g0
-        f1 = float(np.asarray(value(step)))
-        fg1, g1 = value_and_grad(step)
+        f1 = float(np.asarray(value(step, target)))
+        fg1, g1 = value_and_grad(step, target, lvec)
         fg1 = float(np.asarray(fg1))
         gn1 = float(np.linalg.norm(np.asarray(g1)))
         print(

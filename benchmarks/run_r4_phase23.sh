@@ -15,8 +15,15 @@ LOG=${1:-/tmp/r4_phase23.log}
 : > "$LOG"
 
 echo "=== phase 0: flip validation ($(date -u)) ===" >> "$LOG"
+# 12q chi=32: 2chi < RAND_MIN_N — validates the jacobi fallback band.
 timeout 2700 python benchmarks/probe_mps_jit_loop.py 12 32 2 20 >> "$LOG" 2>&1
 echo "[jitloop 12q exit $?]" >> "$LOG"
+# 20q chi=64: the production config-3 shape under the NEW auto default
+# (fused-rand) — convergence + sweep rate with no env overrides.
+timeout 2700 python benchmarks/probe_mps_jit_loop.py 20 64 2 15 >> "$LOG" 2>&1
+echo "[jitloop 20q exit $?]" >> "$LOG"
+timeout 2700 python benchmarks/bench_mps.py 20 64 4 1 --perturb=0.05 >> "$LOG" 2>&1
+echo "[bench_mps 20q auto exit $?]" >> "$LOG"
 timeout 2700 python bench.py >> "$LOG" 2>&1
 echo "[bench exit $?] ($(date -u))" >> "$LOG"
 
