@@ -102,7 +102,7 @@ def main(num_qubits=16, chi=64, layers=2, iters=15, trunc_thr=1e-8, dump=None):
             circ, th, base_bits, chi, trunc_thr=trunc_thr,
             dtype=target.gammas.dtype,
         )
-        return (1.0 - jnp.abs(mps_dot(w, target)) ** 2).real, w.lambdas
+        return (1.0 - jnp.abs(mps_dot(w, tgt)) ** 2).real, w.lambdas
 
     def health(lams):
         lams = np.asarray(lams)

@@ -66,13 +66,19 @@ def _graded(rng, b, n, rate=0.15):
     return a.astype(np.complex64)
 
 
+def _flush(out):
+    # Complex leaves cannot be fetched directly on this backend: reduce to a
+    # real scalar (eager abs+sum on a valid device buffer) and fetch that.
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(np.asarray(jnp.sum(jnp.abs(leaf))))
+
+
 def timeit(name, fn, *args, repeats=20):
-    out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # warm + first fetch
+    _flush(fn(*args))  # warm + first fetch
     tic = time.perf_counter()
     for _i in range(repeats):
         out = fn(*args)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # flush
+    _flush(out)
     dt = (time.perf_counter() - tic) / repeats * 1e3
     print(f"{name:8s} {dt:8.2f} ms", flush=True)
     return dt
@@ -82,8 +88,11 @@ def main(b=10, n=128, chi=64):
     rng = np.random.default_rng(3)
     a = from_host(_graded(rng, b, n))
     ell = rand_svd.rand_ell(n, chi)
-    key = jax.random.PRNGKey(7)
-    omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(jnp.complex64)
+    # complex buffers must be BORN inside jit or arrive via from_host on
+    # this backend (CLAUDE.md) — never eager astype(complex64).
+    omega = from_host(
+        np.random.default_rng(7).standard_normal((b, n, ell)).astype(np.complex64)
+    )
 
     sketch = jax.jit(lambda a, o: jnp.einsum("...ij,...jk->...ik", a, o))
     qr1 = jax.jit(lambda y: _orth(y))

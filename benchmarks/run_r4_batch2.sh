@@ -31,6 +31,8 @@ step "rand stages 20q shape (b=10 n=128 chi=64)" \
 step "rand stages 28q shape (b=9 n=256 chi=128)" \
   python benchmarks/probe_rand_stages.py 9 256 128
 
+step "os8 fused-rand 20q init" \
+  env AQC_TPU_RAND_OVERSAMPLE=8 python benchmarks/bench_mps.py 20 64 4 1
 step "os8 fused-rand 20q perturbed" \
   env AQC_TPU_RAND_OVERSAMPLE=8 python benchmarks/bench_mps.py 20 64 4 1 --perturb=0.05
 step "os8 fused-rand 28q perturbed" \
