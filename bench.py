@@ -194,6 +194,10 @@ def _run_and_print():
                 "value": round(tpu_time, 6),
                 "unit": "s",
                 "vs_baseline": round(cpu_time / max(tpu_time, 1e-9), 2),
+                # Raw ratio input for auditability: the baseline is a LIVE
+                # single-thread NumPy run, so a loaded host inflates
+                # vs_baseline (quiet-host reference: ~6.3 s, BENCH_r02).
+                "cpu_baseline_s": round(cpu_time, 3),
             }
         )
     )
