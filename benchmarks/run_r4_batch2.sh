@@ -40,4 +40,7 @@ step "os8 fused-rand 28q perturbed" \
 step "os8 jitloop 16q canary" \
   env AQC_TPU_RAND_OVERSAMPLE=8 python benchmarks/probe_mps_jit_loop.py 16 64 2 15
 
+step "roofline 28q rand" \
+  python -m aqc_research_tpu.ops.roofline 28 128 4
+
 echo "BATCH2 DONE ($(date -u))" >> "$LOG"
