@@ -256,7 +256,9 @@ def fused_rand_enabled(chi: int | None = None) -> bool:
     rand route has a known TPU-only mid-optimization failure (16q chi=64
     jitted L-BFGS lands fobj=1.0; the fused route lands in the jacobi band,
     RESULTS.md round-4).  The explicit set_fused_pair(True/False) override
-    still wins, so the unfused route stays reachable for probes."""
+    still wins; with fusion off on TPU the engine dispatcher falls back to
+    the plain JACOBI kernel, not unfused rand — probes that study the
+    broken route must also set AQC_TPU_ALLOW_UNFUSED_RAND=1."""
     if _FUSED_PAIR is not None:
         return _FUSED_PAIR
     return is_tpu() and chi is not None and chi >= 8

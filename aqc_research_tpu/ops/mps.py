@@ -288,9 +288,22 @@ def _truncated_svd(m: jax.Array, chi: int, trunc_thr: float):
 
         sweeps = jacobi_sweeps() or DEFAULT_SWEEPS
         if impl == "rand":
+            import os
+
+            from ..config import is_tpu
             from .rand_svd import RAND_MIN_N, rand_svd_top_k
 
-            if m.shape[-1] >= RAND_MIN_N:
+            # On TPU the UNFUSED rand route has a known mid-optimization
+            # failure (RESULTS.md round-4: 16q chi=64 jitloop lands
+            # fobj=1.0), so when the fused-rand kernel did not take the
+            # pair update (alignment guards, set_fused_pair(False), or a
+            # non-_pair_update caller) the SAFE fallback is the plain
+            # jacobi kernel below — never unfused rand.  Probes that study
+            # the broken route opt in via AQC_TPU_ALLOW_UNFUSED_RAND=1.
+            unfused_ok = not is_tpu() or os.environ.get(
+                "AQC_TPU_ALLOW_UNFUSED_RAND", ""
+            ) == "1"
+            if m.shape[-1] >= RAND_MIN_N and unfused_ok:
                 u, s, vh = rand_svd_top_k(m, chi, sweeps)
                 total = jnp.linalg.norm(m, axis=(-2, -1)).astype(s.dtype)
                 mask = _truncation_mask_topk(s, total, chi, trunc_thr)

@@ -138,15 +138,18 @@ def main(num_qubits=16, chi=64, layers=2, iters=15, trunc_thr=1e-8, dump=None):
         gd = g @ d
         if gd >= 0:
             d, gd = -np.asarray(g, np.float64), -float(g @ g)
-        # Armijo backtrack with per-trial fetch
+        # Armijo backtrack with per-trial fetch.  On exhaustion the carry
+        # keeps the LAST EVALUATED step so the printed objective/bond
+        # health describe exactly the point the probe continues from.
         step, f_new = 1.0, None
-        for _ in range(12):
+        for trial in range(12):
             f_try, lam_try = value_only(np.float32(x + step * d), target)
             f_try = float(np.asarray(f_try))
             if np.isfinite(f_try) and f_try <= f + rho * step * gd:
                 f_new, lams_v = f_try, lam_try
                 break
-            step *= 0.5
+            if trial < 11:
+                step *= 0.5
         if f_new is None:
             print(f"iter {it:2d}: NO armijo step accepted (f={f:.6e}); "
                   f"last trial f={f_try:.6e} {health(lam_try)}", flush=True)
@@ -163,6 +166,7 @@ def main(num_qubits=16, chi=64, layers=2, iters=15, trunc_thr=1e-8, dump=None):
             np.asarray(lams_g)
         ).any()
         if diverged and dump:
+            os.makedirs(os.path.dirname(os.path.abspath(dump)), exist_ok=True)
             np.savez(dump, x=x_new, x_prev=x, f=float(f2))
             print(f"DIVERGED at iter {it} — thetas dumped to {dump}", flush=True)
             return

@@ -9,6 +9,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-/root/repo/results/r4/batch2.log}
+mkdir -p "$(dirname "$LOG")"
 : > "$LOG"
 
 step() {
@@ -21,7 +22,7 @@ step() {
 step "divergence 16q jacobi (reference)" \
   env AQC_TPU_SVD_IMPL=jacobi python benchmarks/probe_rand_divergence.py 16 64 2 15
 step "divergence 16q rand UNFUSED (the failing config)" \
-  env AQC_TPU_SVD_IMPL=rand AQC_TPU_FUSED_PAIR=0 \
+  env AQC_TPU_SVD_IMPL=rand AQC_TPU_FUSED_PAIR=0 AQC_TPU_ALLOW_UNFUSED_RAND=1 \
   python benchmarks/probe_rand_divergence.py 16 64 2 15 --dump=/root/repo/results/r4/div16_unfused.npz
 step "divergence 16q rand fused (production default)" \
   env AQC_TPU_SVD_IMPL=rand python benchmarks/probe_rand_divergence.py 16 64 2 15

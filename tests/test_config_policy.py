@@ -30,12 +30,13 @@ class TestSvdImplAuto:
             assert config.svd_impl() == "native"
 
     def test_explicit_choice_wins(self):
+        prior = config._SVD_IMPL  # may be env-derived; restore, don't clear
         config.set_svd_impl("jacobi")
         try:
             with _tpu(True):
                 assert config.svd_impl() == "jacobi"
         finally:
-            config.set_svd_impl(None)
+            config.set_svd_impl(prior)
 
 
 class TestFusedRouting:
@@ -62,18 +63,60 @@ class TestFusedRouting:
             assert config.fused_pair_enabled(96)
             assert config.fused_pair_enabled(128)
 
+    def test_tpu_unfused_rand_falls_back_to_jacobi(self):
+        # The engine dispatcher must NEVER route the unfused rand SVD on a
+        # TPU-like backend (known mid-optimization failure, RESULTS.md
+        # round-4): when svd_impl is "rand" and the fused kernel did not
+        # take the update, the fallback is the plain jacobi kernel.  Off
+        # TPU (or with the probe escape hatch set) unfused rand runs.
+        import numpy as np
+
+        from aqc_research_tpu.ops import mps as mps_mod
+        from aqc_research_tpu.ops import rand_svd
+
+        rng = np.random.default_rng(0)
+        m = (rng.standard_normal((2, 32, 32))
+             + 1j * rng.standard_normal((2, 32, 32))).astype(np.complex64)
+
+        prior = config._SVD_IMPL
+        config.set_svd_impl("rand")
+
+        def _boom(*a, **k):
+            raise AssertionError("unfused rand route taken")
+
+        try:
+            with mock.patch.object(rand_svd, "RAND_MIN_N", 32), \
+                 mock.patch.object(rand_svd, "rand_svd_top_k", _boom):
+                # On "TPU": jacobi fallback — the sentinel must NOT fire.
+                # (_truncated_svd does `from ..config import is_tpu` at call
+                # time, so patching the config module attribute is enough.)
+                with _tpu(True):
+                    u, s, vh, mask, total = mps_mod._truncated_svd(m, 16, 1e-6)
+                    assert np.asarray(s).shape == (2, 16)
+                # Off TPU: the unfused route runs (sentinel fires).
+                with _tpu(False):
+                    try:
+                        mps_mod._truncated_svd(m, 16, 1e-6)
+                    except AssertionError as e:
+                        assert "unfused rand route taken" in str(e)
+                    else:
+                        raise AssertionError("unfused rand was not routed off-TPU")
+        finally:
+            config.set_svd_impl(prior)
+
     def test_explicit_override_gates_both_routes(self):
+        prior = config._FUSED_PAIR  # may be env-derived; restore, don't clear
         config.set_fused_pair(False)
         try:
             with _tpu(True):
                 assert not config.fused_rand_enabled(64)
                 assert not config.fused_pair_enabled(128)
         finally:
-            config.set_fused_pair(None)
+            config.set_fused_pair(prior)
         config.set_fused_pair(True)
         try:
             with _tpu(False):
                 assert config.fused_rand_enabled(64)
                 assert config.fused_pair_enabled(8)
         finally:
-            config.set_fused_pair(None)
+            config.set_fused_pair(prior)
