@@ -20,7 +20,7 @@ batched Householder QR — see ``_orth`` for why not CholeskyQR):
 
 Step 5 reuses the SAME Pallas kernel (`_jacobi_pallas_raw` runs rectangular
 working arrays natively): at the 20q chi=64 shape the kernel's work drops
-from 64 column pairs x 127 phases to (l=80)/2 = 40 pairs x 79 phases —
+from 64 column pairs x 127 phases to (l=72)/2 = 36 pairs x 71 phases —
 0.39x the VPU flops — while steps 1-4 + 6 ride the MXU/batched-cholesky
 paths that were measured ~free at these sizes
 (benchmarks/probe_decomp_primitives.py).  A second structural win: the
@@ -53,9 +53,15 @@ from .jacobi_svd import DEFAULT_SWEEPS
 from .pallas_jacobi import _jacobi_pallas_raw, _pick_chunk, _sort_guard_top_k
 
 # l = k + _OVERSAMPLE sampled columns (rounded up to even for the kernel's
-# seat pairing).  16 keeps l sublane-tile-aligned at the production shapes
-# (chi=64 -> l=80, chi=128 -> l=144).
-_OVERSAMPLE = int(os.environ.get("AQC_TPU_RAND_OVERSAMPLE", "16"))
+# seat pairing).  8 keeps l sublane-tile-aligned at the production shapes
+# (chi=64 -> l=72, chi=128 -> l=136) and is the measured round-4 default:
+# +5-9% sweeps/s over 16 at both production shapes (20q init 36.17 vs
+# 33.09, perturbed 35.68 vs 33.23; 28q perturbed 10.55 vs 10.09 —
+# results/r4/batch2.log) with accuracy pinned on real captured matrices
+# (leak/sigma parity, RESULTS.md) and the 16q jitloop canary in band
+# (2.455e-3 vs jacobi 2.438e-3).  Raise via AQC_TPU_RAND_OVERSAMPLE for
+# extra sketch margin (the fixed-key reuse argument scales with it).
+_OVERSAMPLE = int(os.environ.get("AQC_TPU_RAND_OVERSAMPLE", "8"))
 # Subspace-sharpening power iterations (Y <- A A^H Y with re-orthonormal-
 # ization).  1 is the measured-safe default on the graded pair spectra.
 _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
@@ -102,7 +108,8 @@ def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
     # (the fused/unfused routes build theta with 1-ulp differences, so any
     # bit-exact tag diverges and the routes draw different sketches).  The
     # deterministic-reuse risk (one position keeping a poorly-aligned draw
-    # forever) is covered by the oversample margin (l = k + 16 by default)
+    # forever) is covered by the oversample margin (l = k + 8 by default;
+    # raise AQC_TPU_RAND_OVERSAMPLE for more margin)
     # plus one power iteration, which together drive the worst-case
     # captured-matrix truncation leak ~5 orders below the plain kernel's
     # (benchmarks/probe_rand_real_mats.py); convergence is additionally

@@ -209,8 +209,15 @@ class TestShardedMps:
                 got = apply_pairs_mps_sharded(
                     mps, gates, los, mesh, trunc_thr=1e-6
                 )
+                # Cross-IMPL f32 comparison (fused Pallas kernel vs native
+                # LAPACK reference): factor roundoff through three pair
+                # SVDs legitimately drifts the c64 state to ~1e-4 absolute
+                # (measured flake at atol=5e-5: 6.7e-5 on 2/64 amplitudes,
+                # run-to-run variant with XLA:CPU codegen).  This test pins
+                # the sharded COMPOSITION of the fused routes; strict
+                # factor-level parity lives in test_fused_pair/_rand.
                 np.testing.assert_allclose(
-                    np.asarray(mps_to_vector(got)), ref, atol=5e-5,
+                    np.asarray(mps_to_vector(got)), ref, atol=3e-4,
                     err_msg=f"sharded fused impl={impl}",
                 )
         finally:
