@@ -241,10 +241,15 @@ def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int):
+def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int,
+                       interpret: bool | None = None):
     """Runs the kernel on transposed re/im planes (B, c, r) — c columns of
     length r, c even (square inputs have c == r); B must be a multiple of
-    ``chunk``.  Returns (w_re, w_im) with W = (m V)^T rows."""
+    ``chunk``.  Returns (w_re, w_im) with W = (m V)^T rows.
+
+    ``interpret=None`` auto-selects interpreter mode off-TPU; an explicit
+    True forces the interpreter ON TPU (bit-faithful reference for
+    wrong-code discriminators, benchmarks/probe_kernel_rect.py)."""
     b, c, r = m_re.shape
     assert b % chunk == 0 and c % 2 == 0
     out = jax.ShapeDtypeStruct((b, c, r), jnp.float32)
@@ -252,8 +257,9 @@ def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int):
     spec = pl.BlockSpec(
         (chunk, c, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    # Interpreter mode off-TPU (CPU test backend) — same numerics.
-    interpret = jax.default_backend() not in ("tpu", "axon")
+    if interpret is None:
+        # Interpreter mode off-TPU (CPU test backend) — same numerics.
+        interpret = jax.default_backend() not in ("tpu", "axon")
     return pl.pallas_call(
         kernel,
         grid=(b // chunk,),
