@@ -240,7 +240,7 @@ def _jacobi_kernel_body(max_sweeps: int, m_re_ref, m_im_ref, w_re_ref, w_im_ref)
     w_im_ref[:, p:, :] = wr_im
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def _jacobi_pallas_raw(m_re, m_im, sweeps: int, chunk: int,
                        interpret: bool | None = None):
     """Runs the kernel on transposed re/im planes (B, c, r) — c columns of
