@@ -55,24 +55,26 @@ def main(num_qubits=16, chi=64, trunc_thr=1e-8, dump=None):
     ini = trotop.neel_init_state(num_qubits)
     base = mpsop.mps_from_program(ini, num_qubits, chi_max=chi, trunc_thr=trunc_thr)
     dtype = base.gammas.dtype
-    alphas = jnp.asarray(trotter_alphas(dt, delta))
-    betas = jnp.asarray(trotter_alphas(dt * 0.5, delta))
-    blk_a = _block_4x4_lo_hi(alphas, dtype)
-    blk_b = _block_4x4_lo_hi(betas, dtype)
+    # alphas/betas stay REAL on the host; the complex 4x4 blocks are built
+    # INSIDE jit (eager _block_4x4_lo_hi would create lazily-invalid
+    # complex buffers on this backend).
+    alphas = jnp.asarray(np.asarray(trotter_alphas(dt, delta)))
+    betas = jnp.asarray(np.asarray(trotter_alphas(dt * 0.5, delta)))
 
     # the second-order half-layer schedule of trotter_evolve_mps
-    sched = [(blk_b, 0), (blk_a, 1)]
+    sched = [(betas, 0), (alphas, 1)]
     for _ in range(num_steps - 1):
-        sched += [(blk_a, 0), (blk_a, 1)]
-    sched += [(blk_b, 0)]
+        sched += [(alphas, 0), (alphas, 1)]
+    sched += [(betas, 0)]
 
     def build_half_layer(impl):
         # The svd impl is read at TRACE time inside _pair_update; giving
         # each impl its OWN jitted function object keeps the compiled
         # caches separate (a shared function would silently reuse the
         # first impl's program for both).
-        def hl(m, blk, start):
+        def hl(m, coeffs, start):
             set_svd_impl(impl)
+            blk = _block_4x4_lo_hi(coeffs, dtype)
             los = tuple(range(start, num_qubits - 1, 2))
             gates = jnp.broadcast_to(blk, (len(los), 4, 4))
             return mpsop.apply_pairs_mps(m, gates, los, trunc_thr=trunc_thr)
@@ -88,12 +90,11 @@ def main(num_qubits=16, chi=64, trunc_thr=1e-8, dump=None):
         return jnp.abs(hs), jnp.abs(mpsop.mps_dot(a, a)), jnp.abs(mpsop.mps_dot(b, b))
 
     w_j, w_r = base, base
-    for step, (blk, start) in enumerate(sched):
+    for step, (coeffs, start) in enumerate(sched):
         los = tuple(range(start, num_qubits - 1, 2))
-        gates = jnp.broadcast_to(blk, (len(los), 4, 4))
         w_j_prev = w_j
-        w_j = hl_j(w_j, blk, start)
-        w_r = hl_r(w_r, blk, start)
+        w_j = hl_j(w_j, coeffs, start)
+        w_r = hl_r(w_r, coeffs, start)
         ov, na, nb = (float(np.asarray(x)) for x in overlap(w_r, w_j))
         lam_j = np.asarray(w_j.lambdas)
         lam_r = np.asarray(w_r.lambdas)
@@ -110,6 +111,11 @@ def main(num_qubits=16, chi=64, trunc_thr=1e-8, dump=None):
                 # the INPUT batch of the divergent half-layer: thetas from
                 # the pre-update jacobi state (what both impls decomposed,
                 # up to f32 history drift)
+                gates = jax.jit(
+                    lambda c: jnp.broadcast_to(
+                        _block_4x4_lo_hi(c, dtype), (len(los), 4, 4)
+                    )
+                )(coeffs)
                 thetas = mpsop.pair_thetas(w_j_prev, gates, los)
                 from aqc_research_tpu.utils import to_host
 
