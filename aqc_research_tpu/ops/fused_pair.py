@@ -187,15 +187,26 @@ def _fused_kernel_body(
     ws_im_a = jnp.stack(ws_im)
 
     # ---- 4. noise guard + discarded-weight truncation (squared forms) ----
+    # Cancellation-robust tail (the ops/mps._truncation_mask_topk round-4
+    # fix, same semantics): the SEEN part is a direct suffix sum of the
+    # sorted squares (no subtraction), and only the below-chi remainder
+    # uses total2 - sum(seen), noise-floored at 16 eps * total2 — the f32
+    # resolution of the two summation orders.  The naive total2 - head
+    # made keep/drop beyond the true rank a rounding coin flip on strongly
+    # rank-deficient pair matrices (results/r4/theta_analyze.log).
     floor2 = (32.0 * _EPS32) ** 2 * s2s[:, :1]
     guard = s2s > floor2
     s2g = jnp.where(guard, s2s, 0.0)
-    tri = (
+    ge = (
         jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
+        >= jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
     ).astype(jnp.float32)
-    head = _dot(s2g, tri)  # head[i, k] = sum_{l < k} s2g[i, l]
-    tail2 = jnp.maximum(total2 - head, 0.0)
+    seen_tail2 = _dot(s2g, ge)  # [i, k] = sum_{l >= k} s2g[i, l]
+    rest2 = jnp.maximum(
+        total2 - jnp.sum(s2s, axis=-1, keepdims=True) - 16.0 * _EPS32 * total2,
+        0.0,
+    )
+    tail2 = seen_tail2 + rest2
     thr2 = thr2_ref[0, 0]
     keep = jnp.logical_and(tail2 > thr2 * total2, guard)
 

@@ -97,21 +97,31 @@ def _rand_tail_kernel_body(
     ws_im_a = jnp.stack(ws_im)
 
     # ---- 3. noise guard + discarded-weight truncation vs FULL weight ----
+    # Cancellation-robust tail (the ops/mps._truncation_mask_topk round-4
+    # fix): the SEEN part is a direct suffix sum of the sorted squares,
+    # and the unseen remainder (here: the projected-out theta tail PLUS
+    # the below-chi reduced values) uses the subtraction noise-floored at
+    # 16 eps * total2 — the naive total2 - head made keep/drop beyond the
+    # true rank a rounding coin flip on rank-deficient pair matrices.
     floor2 = (32.0 * _EPS32) ** 2 * s2s[:, :1]
     guard = s2s > floor2
     s2g = jnp.where(guard, s2s, 0.0)
-    tri = (
+    ge = (
         jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
+        >= jax.lax.broadcasted_iota(jnp.int32, (chi, chi), 1)
     ).astype(jnp.float32)
-    head = _dot(s2g, tri)  # head[i, k] = sum_{l < k} s2g[i, l]
+    seen_tail2 = _dot(s2g, ge)  # [i, k] = sum_{l >= k} s2g[i, l]
     # total2 is the FULL theta weight (incl. the projected-out tail), so the
     # rule and the rescale match the unprojected _pair_update semantics.
     total2 = jnp.concatenate(
         [jnp.full((1, 1), tot2_ref[base + i, 0], jnp.float32) for i in range(chunk)],
         axis=0,
     )  # (chunk, 1)
-    tail2 = jnp.maximum(total2 - head, 0.0)
+    rest2 = jnp.maximum(
+        total2 - jnp.sum(s2s, axis=-1, keepdims=True) - 16.0 * _EPS32 * total2,
+        0.0,
+    )
+    tail2 = seen_tail2 + rest2
     thr2 = thr2_ref[0, 0]
     keep = jnp.logical_and(tail2 > thr2 * total2, guard)
 

@@ -237,13 +237,35 @@ def _truncation_mask_topk(s: jax.Array, total: jax.Array, chi: int, trunc_thr: f
     """Keep mask given only the top-chi singular values and the full Frobenius
     norm ``total`` of the matrix: discard value i when the tail norm
     (everything from i on, including the unseen remainder) is
-    <= trunc_thr * total.  Batched over leading axes."""
+    <= trunc_thr * total.  Batched over leading axes.
+
+    NUMERICS (root cause of the round-4 "16q rand failure",
+    results/r4/theta_analyze.log): the naive tail ``sqrt(total^2 - head_i)``
+    is catastrophic f32 cancellation when the matrix is strongly
+    rank-deficient — total^2 and head agree to within the norms' own
+    rounding (~16 eps relative), so keep/drop beyond the true rank is a
+    rounding COIN FLIP: one sign of the error keeps every slot (phantom
+    3e-4-grade tail), the other clamps the subtraction at a REAL direction
+    and drops it (a dead bond that zeroes the whole state).  Both failure
+    directions were observed on captured production matrices, impl- and
+    draw-dependent.  The robust form splits the tail into
+      * the SEEN part — small-end cumsum of the known s^2, no cancellation,
+        exact to f32 for any magnitude, and
+      * the UNSEEN remainder — max(total^2 - sum s^2 - noise, 0) with a
+        16*eps*total^2 noise floor (the f32 resolution of the two norm
+        computations; pairwise-summed ||m||_F^2 carries ~log2(n)*eps).
+    An unseen remainder below ~1.4e-3 * total is therefore treated as
+    exactly zero: f32 norms cannot distinguish it from rounding, and any
+    genuine mass in that band is already being discarded by the rank cap
+    (the mask can only keep SEEN directions), so the discarded weight it
+    contributes is unavoidable regardless of the mask."""
     s2 = s * s
-    head = jnp.concatenate(
-        [jnp.zeros(s.shape[:-1] + (1,), s.dtype), jnp.cumsum(s2, axis=-1)[..., :-1]],
-        axis=-1,
-    )
-    tail = jnp.sqrt(jnp.maximum((total * total)[..., None] - head, 0.0))
+    seen_tail = jnp.cumsum(s2[..., ::-1], axis=-1)[..., ::-1]
+    head_all = jnp.sum(s2, axis=-1)
+    t2 = total * total
+    noise = (16.0 * jnp.finfo(s.dtype).eps) * t2
+    unseen = jnp.maximum(t2 - head_all - noise, 0.0)
+    tail = jnp.sqrt(seen_tail + unseen[..., None])
     return tail > (trunc_thr * total[..., None])
 
 
