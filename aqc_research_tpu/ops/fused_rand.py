@@ -36,6 +36,7 @@ Replaced reference workload: the per-gate Aer C++ truncated SVD,
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -71,30 +72,51 @@ def _rand_tail_kernel_body(
     )
 
     # ---- 2. singular values + stable descending rank + top-chi select ----
+    # MOSAIC ALIGNMENT CONTRACT (Aug-19 toolchain): every lane-axis vector
+    # in this block must be n(=2chi, 128-multiple)-wide.  The natural
+    # widths here are ell = chi+oversample (e.g. 72, 136) and the original
+    # ell-lane formulation compiled on the earlier toolchain but now dies
+    # with "Invalid relayout: non-singleton logical dimension is
+    # replicated in destination but not in source" — so the squared
+    # values are PADDED to n lanes with a -1 sentinel (every real square
+    # is >= 0, so sentinels rank strictly last and are never selected),
+    # which makes the rank/perm block shape-identical to the proven
+    # fused_pair kernel (ops/fused_pair.py:157-196).
+    n = m_re_ref.shape[-1]
     s2l = jnp.sum(wl_re * wl_re + wl_im * wl_im, axis=-1)  # (chunk, p)
     s2r = jnp.sum(wr_re * wr_re + wr_im * wr_im, axis=-1)
-    s2 = jnp.concatenate([s2l, s2r], axis=-1)  # (chunk, l)
+    parts = [s2l, s2r]
+    if n > ell:
+        parts.append(jnp.full((chunk, n - ell), -1.0, jnp.float32))
+    s2 = jnp.concatenate(parts, axis=-1)
+    # (chunk, n): squares on [0, ell), -1 sentinels on [ell, n)
 
-    mi = jax.lax.broadcasted_iota(jnp.int32, (ell, ell), 0)
-    li = jax.lax.broadcasted_iota(jnp.int32, (ell, ell), 1)
+    mi = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     s2m = s2[:, :, None]
     s2l_b = s2[:, None, :]
     before = jnp.logical_or(
         s2m > s2l_b, jnp.logical_and(s2m == s2l_b, (mi < li)[None, :, :])
     )
-    rank = jnp.sum(before.astype(jnp.int32), axis=1)  # (chunk, l)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (chi, ell), 0)
+    rank = jnp.sum(before.astype(jnp.int32), axis=1)  # (chunk, n)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (chi, n), 0)
     perm = (rank[:, None, :] == k_iota[None, :, :]).astype(jnp.float32)
 
-    s2s = jnp.sum(perm * s2[:, None, :], axis=-1)  # (chunk, chi)
     ws_re = []
     ws_im = []
     for i in range(chunk):
-        p_l, p_r = perm[i, :, :p], perm[i, :, p:]
+        p_l, p_r = perm[i, :, :p], perm[i, :, p:ell]
         ws_re.append(_dot(p_l, wl_re[i]) + _dot(p_r, wr_re[i]))
         ws_im.append(_dot(p_l, wl_im[i]) + _dot(p_r, wr_im[i]))
     ws_re_a = jnp.stack(ws_re)  # (chunk, chi, n)
     ws_im_a = jnp.stack(ws_im)
+    # Selected sorted squares via the n-lane perm reduce — the EXACT op of
+    # fused_pair.py:179, which this toolchain compiles (sentinel columns
+    # contribute 0 * (-1) = 0).  Two formulations that fail here with
+    # "Invalid relayout" on the Aug-19 Mosaic: reducing the ell(=chi+8)-
+    # lane axis (non-128-aligned), and reducing a jnp.stack result (its
+    # layout carries an implicit leading dim, the "-1" in the error).
+    s2s = jnp.sum(perm * s2[:, None, :], axis=-1)  # (chunk, chi)
 
     # ---- 3. noise guard + discarded-weight truncation vs FULL weight ----
     # Cancellation-robust tail (the ops/mps._truncation_mask_topk round-4
@@ -211,7 +233,17 @@ def fused_rand_pair_update(
 
     # ---- pass C: reduced Jacobi + truncation + vh rows ----
     thr2_arr = jnp.full((1, 1), float(trunc_thr) ** 2, jnp.float32)
-    chunk_c = _pick_chunk(b_count, ell, rows=n)
+    # CHUNK FLOOR 2 (Aug-19 Mosaic): at chunk=1 the tail kernel's
+    # lane-axis reduces produce (1, chi) vectors whose layout carries an
+    # implicit leading dim, and the toolchain rejects the relayout
+    # ("Invalid relayout: non-singleton logical dimension is replicated
+    # in destination but not in source") — measured: chunk=2 compiles and
+    # runs, chunk=1 dies, byte-identical kernel otherwise.  Cost: the
+    # shared adaptive loop pays max-of-2 sweep counts (round-3 chunk data
+    # bounds this ~5%).  Override for future toolchains via
+    # AQC_TPU_RAND_TAIL_CHUNK.
+    _tail_floor = int(os.environ.get("AQC_TPU_RAND_TAIL_CHUNK", "2"))
+    chunk_c = max(_tail_floor, _pick_chunk(b_count, ell, rows=n))
     b_pad = -(-b_count // chunk_c) * chunk_c
     tot2_arr = total2[:, None].astype(jnp.float32)
     if b_pad != b_count:

@@ -46,8 +46,13 @@ PERTURBATION = 0.2  # rad; takes the perfect init to infidelity ~0.98
 SEED = 12345
 
 # Bounded backend health probe (seconds).  A healthy tunnel answers a tiny
-# matmul + fetch in a few seconds; a down tunnel hangs in backend init.
-PROBE_TIMEOUT = float(os.environ.get("AQC_TPU_BENCH_PROBE_TIMEOUT", "150"))
+# matmul + fetch in a few seconds WHEN the compile cache is warm — but a
+# COLD cache pays the full remote-compile round trip even for an 8x8
+# matmul (measured 71 s for a trivial program on 2026-08-19, and a 150 s
+# probe produced a FALSE outage report right after the fresh-VM cache
+# wipe, results/r4/maskfix.log).  300 s covers the cold path with margin
+# while still failing a genuinely down tunnel well inside the run budget.
+PROBE_TIMEOUT = float(os.environ.get("AQC_TPU_BENCH_PROBE_TIMEOUT", "300"))
 # Hard wall-clock budget for the full benchmark child (seconds).  Must stay
 # below the driver's own kill timeout (round 3 showed >= 25 min) so the
 # failure line is OURS, not a silent rc=124.
