@@ -66,12 +66,18 @@ _OVERSAMPLE = int(os.environ.get("AQC_TPU_RAND_OVERSAMPLE", "8"))
 # ization).  1 is the measured-safe default on the graded pair spectra.
 _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
 # Intermediate stabilization inside the power iteration: "qr" (full
-# Householder re-orthonormalization, the HMT textbook form) or "colnorm"
+# Householder re-orthonormalization, the HMT textbook form), "qrlite"
+# (skip ONLY the z-side re-orthonormalization — 2 QRs instead of 3 at
+# q=1; the y-side and final bases stay Householder), or "colnorm"
 # (column normalization only — one cheap reduction instead of a QR; the
-# FINAL basis is always Householder).  Trade-off measured on real pair
-# matrices (probe_rand_real_mats / probe_sweep_counts --rand): see
-# RESULTS.md — colnorm keeps the count collapse of q=1 at ~q=0 QR cost
-# if the leak stays at the q=1 level.
+# FINAL basis is always Householder).  Measured trade-offs (RESULTS.md
+# "Rand-route stage budget" + the round-4 A/B): the 3 QRs are ~95% of
+# the range-finder's in-jit cost, so qrlite cuts the middle by ~1/3;
+# its numerical exposure is the unstabilized z = A^H y leg, whose
+# squared spectrum puts ~eps*(s_max/s_i)^2 relative noise on a boundary
+# direction (~6e-2 at the thr=1e-6 keep boundary vs qr's 6e-5) — the
+# accuracy canaries decide, not the default.  colnorm is DISQUALIFIED
+# (jitloop out of band, results/r4/rand_ab.log).
 _INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
@@ -127,7 +133,9 @@ def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
     y = _stab(jnp.einsum("...ij,...jk->...ik", a, omega))
     ah = jnp.conj(jnp.swapaxes(a, -1, -2))
     for _ in range(q_iters):
-        z = _stab(jnp.einsum("...ij,...jk->...ik", ah, y))
+        z = jnp.einsum("...ij,...jk->...ik", ah, y)
+        if _INTERMEDIATE != "qrlite":
+            z = _stab(z)
         y = _stab(jnp.einsum("...ij,...jk->...ik", a, z))
     if _INTERMEDIATE == "colnorm":
         y = _orth(y)  # the final basis must be orthonormal
