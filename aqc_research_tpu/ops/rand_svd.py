@@ -66,18 +66,24 @@ _OVERSAMPLE = int(os.environ.get("AQC_TPU_RAND_OVERSAMPLE", "8"))
 # ization).  1 is the measured-safe default on the graded pair spectra.
 _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
 # Intermediate stabilization inside the power iteration: "qr" (full
-# Householder re-orthonormalization, the HMT textbook form), "qrlite"
-# (skip ONLY the z-side re-orthonormalization — 2 QRs instead of 3 at
-# q=1; the y-side and final bases stay Householder), or "colnorm"
-# (column normalization only — one cheap reduction instead of a QR; the
-# FINAL basis is always Householder).  Measured trade-offs (RESULTS.md
-# "Rand-route stage budget" + the round-4 A/B): the 3 QRs are ~95% of
-# the range-finder's in-jit cost, so qrlite cuts the middle by ~1/3;
-# its numerical exposure is the unstabilized z = A^H y leg, whose
-# squared spectrum puts ~eps*(s_max/s_i)^2 relative noise on a boundary
-# direction (~6e-2 at the thr=1e-6 keep boundary vs qr's 6e-5) — the
-# accuracy canaries decide, not the default.  colnorm is DISQUALIFIED
-# (jitloop out of band, results/r4/rand_ab.log).
+# Householder re-orthonormalization, the HMT textbook form), "lu"
+# (partial-pivot LU between the power legs — P@L is a bounded
+# unit-lower-trapezoidal basis of the same span, cond ~5 on graded
+# spectra vs ~1e6 raw; the scheme scikit-learn's randomized_svd ships as
+# its default power_iteration_normalizer — with Householder QR kept for
+# the FINAL basis only), "qrlite" (skip ONLY the z-side
+# re-orthonormalization — 2 QRs instead of 3 at q=1; the y-side and
+# final bases stay Householder), or "colnorm" (column normalization
+# only — one cheap reduction instead of a QR; the FINAL basis is always
+# Householder).  Measured trade-offs (RESULTS.md "Rand-route stage
+# budget" + the round-4 A/B): the 3 QRs are ~95% of the range-finder's
+# in-jit cost, so qrlite cuts the middle by ~1/3; its numerical
+# exposure is the unstabilized z = A^H y leg, whose squared spectrum
+# puts ~eps*(s_max/s_i)^2 relative noise on a boundary direction
+# (~6e-2 at the thr=1e-6 keep boundary vs qr's 6e-5) — measured as a
+# 10% grad_norm deviation at the production 20q point, so qrlite is a
+# knob, not the default.  colnorm is DISQUALIFIED (jitloop out of band,
+# results/r4/rand_ab.log).
 _INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
@@ -98,11 +104,34 @@ def _orth(y: jax.Array) -> jax.Array:
     return jnp.linalg.qr(y, mode="reduced")[0]
 
 
-def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
+def _lu_stab(y: jax.Array) -> jax.Array:
+    """P @ L of the partial-pivot LU of ``y`` (..., n, l): a bounded
+    unit-lower-trapezoidal matrix with span(P L) = span(y).
+
+    Cheaper than Householder QR (no orthogonal factor is formed) while
+    avoiding the squared-spectrum column collapse of an unstabilized power
+    leg: L's entries are <= 1 with a unit diagonal, so the re-scaled basis
+    has O(1) condition regardless of y's grading.  This is exactly
+    scikit-learn randomized_svd's default ``power_iteration_normalizer``
+    ("LU"); only the FINAL range basis needs a real QR.
+    """
+    n, ell = y.shape[-2], y.shape[-1]
+    lu, _, perm = jax.lax.linalg.lu(y)
+    l_fac = jnp.tril(lu, -1)[..., :, :ell] + jnp.eye(n, ell, dtype=lu.dtype)
+    inv = jnp.argsort(perm, axis=-1)
+    return jnp.take_along_axis(l_fac, inv[..., None].astype(jnp.int32), axis=-2)
+
+
+def _range_project(
+    a: jax.Array, ell: int, q_iters: int, intermediate: str | None = None
+) -> jax.Array:
     """HMT range-finder + projection: returns B = Q^H A of shape (B, l, n)
     for ``a`` (B, n, n) complex, where Q is an orthonormal basis of the
     sketched (power-iterated) range of A.  Shared by :func:`rand_svd_top_k`
-    and the fused_rand pair-update route (ops/fused_rand.py)."""
+    and the fused_rand pair-update route (ops/fused_rand.py).
+    ``intermediate`` overrides the module-level normalizer selection (qr /
+    lu / qrlite / colnorm); None reads AQC_TPU_RAND_INTERMEDIATE."""
+    im = _INTERMEDIATE if intermediate is None else intermediate
     b, n = a.shape[0], a.shape[-1]
     # Test matrices are drawn INDEPENDENTLY per batch element (HMT failure
     # bounds are per-draw, so a shared Omega would make any poorly-aligned
@@ -125,19 +154,25 @@ def _range_project(a: jax.Array, ell: int, q_iters: int) -> jax.Array:
     omega = jax.random.normal(key, (b, n, ell), jnp.float32).astype(a.dtype)
 
     def _stab(y):
-        if _INTERMEDIATE == "colnorm":
+        if im == "colnorm":
             nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=-2, keepdims=True))
             return y / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny)
+        if im == "lu":
+            return _lu_stab(y)
         return _orth(y)
 
     y = _stab(jnp.einsum("...ij,...jk->...ik", a, omega))
     ah = jnp.conj(jnp.swapaxes(a, -1, -2))
-    for _ in range(q_iters):
+    for i in range(q_iters):
         z = jnp.einsum("...ij,...jk->...ik", ah, y)
-        if _INTERMEDIATE != "qrlite":
+        if im != "qrlite":
             z = _stab(z)
-        y = _stab(jnp.einsum("...ij,...jk->...ik", a, z))
-    if _INTERMEDIATE == "colnorm":
+        y = jnp.einsum("...ij,...jk->...ik", a, z)
+        if im != "lu" or i < q_iters - 1:
+            # lu mode leaves the LAST power leg raw: the final Householder
+            # QR below orthonormalizes it directly (2 LUs + 1 QR at q=1).
+            y = _stab(y)
+    if im in ("colnorm", "lu"):
         y = _orth(y)  # the final basis must be orthonormal
     return jnp.einsum("...ji,...jk->...ik", jnp.conj(y), a)  # (B, l, n)
 
@@ -149,13 +184,14 @@ def rand_ell(n: int, k: int, oversample: int | None = None) -> int:
     return ell + ell % 2
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def rand_svd_top_k(
     m: jax.Array,
     k: int,
     sweeps: int = DEFAULT_SWEEPS,
     oversample: int | None = None,
     power_iters: int | None = None,
+    intermediate: str | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Top-k truncated SVD via randomized projection + the reduced Jacobi
     kernel; same contract as
@@ -173,7 +209,7 @@ def rand_svd_top_k(
     b = a.shape[0]
     ell = rand_ell(n, k, oversample)
     q_iters = _POWER_ITERS if power_iters is None else power_iters
-    bm = _range_project(a, ell, q_iters)  # (B, l, n)
+    bm = _range_project(a, ell, q_iters, intermediate)  # (B, l, n)
 
     # Reduced one-sided Jacobi on M = B^H (n x l): the kernel's transposed
     # working layout (row j = column j of M) is exactly conj(bm) — l rows

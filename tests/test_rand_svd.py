@@ -147,6 +147,59 @@ class TestRandSvd(unittest.TestCase):
         e2 = np.max(np.abs(np.asarray(s2) - ss) / ss[..., :1])
         self.assertLess(e2, e1)
 
+    def test_lu_stab_span_and_bound(self):
+        """The LU power-iteration normalizer (P@L of the partial-pivot LU;
+        scikit-learn randomized_svd's default) must span exactly the input
+        columns with an O(1)-conditioned factor, even on the squared-
+        spectrum column grading that disqualified the unstabilized (qrlite)
+        z-leg."""
+        from aqc_research_tpu.ops.rand_svd import _lu_stab
+
+        rng = np.random.default_rng(6)
+        n, ell = 64, 24
+        y_np = _rand_c(rng, 3, n, ell) * np.logspace(0, -6, ell)[None, None, :]
+        y_np = y_np.astype(np.complex64)
+        pl = np.asarray(_lu_stab(jnp.asarray(y_np)))
+        # bounded unit-trapezoid entries (complex partial pivoting compares
+        # |re|+|im|, so true-modulus multipliers reach sqrt(2)), O(1) cond
+        self.assertLessEqual(float(np.max(np.abs(pl))), np.sqrt(2.0) + 1e-5)
+        self.assertLess(float(np.max(np.linalg.cond(pl))), 50.0)
+        # span(P L) contains span(y) down to the graded column scales:
+        # project each column of y onto span(PL) and compare PER COLUMN
+        q, _ = np.linalg.qr(pl)
+        res = y_np - q @ (np.conj(np.swapaxes(q, -1, -2)) @ y_np)
+        col = np.linalg.norm(y_np, axis=-2)
+        rel = np.linalg.norm(res, axis=-2) / np.maximum(col, 1e-30)
+        # columns above the f32 noise floor of the LARGEST column are
+        # captured; the 1e-6-scaled tail is allowed f32-level leakage
+        big = col > 1e-4 * col.max()
+        self.assertLess(float(np.max(rel[big])), 1e-3)
+
+    def test_lu_intermediate_graded_parity(self):
+        """rand_svd_top_k(intermediate="lu") matches the qr normalizer's
+        factor contract on the graded+junk production model (the mode is
+        selected per-call here; production selects it via
+        AQC_TPU_RAND_INTERMEDIATE=lu)."""
+        rng = np.random.default_rng(7)
+        m_np = _graded(rng, 3, 128, 0.05).astype(np.complex64)
+        k = 64
+        ss = np.linalg.svd(m_np, compute_uv=False)
+        out = {}
+        for mode in ("qr", "lu"):
+            u, s, vh = rand_svd_top_k(jnp.asarray(m_np), k, 12, None, None, mode)
+            u, s, vh = np.asarray(u), np.asarray(s), np.asarray(vh)
+            rec = (u * s[..., None, :]) @ vh
+            dw = np.linalg.norm(m_np - rec, axis=(1, 2))
+            out[mode] = (s, dw)
+            # kept sigmas vs LAPACK, away-from-cut tolerance
+            err = np.abs(s[..., :32] - ss[..., :32]) / ss[..., :32]
+            self.assertLess(float(np.max(err)), 2e-3, mode)
+        # discarded weight: lu within 5% of qr's
+        dw_opt = np.linalg.norm(
+            m_np - _best_rank_k(m_np, k), axis=(1, 2)
+        )
+        self.assertLess(float(np.max(out["lu"][1] / dw_opt)), 1.05)
+
     def test_dispatcher_rand_and_fallback(self):
         """ops/mps._truncated_svd routes impl="rand" through rand_svd_top_k
         at n >= RAND_MIN_N and falls back to the plain Jacobi kernel below
