@@ -80,10 +80,13 @@ _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
 # in-jit cost, so qrlite cuts the middle by ~1/3; its numerical
 # exposure is the unstabilized z = A^H y leg, whose squared spectrum
 # puts ~eps*(s_max/s_i)^2 relative noise on a boundary direction
-# (~6e-2 at the thr=1e-6 keep boundary vs qr's 6e-5) — measured as a
-# 10% grad_norm deviation at the production 20q point, so qrlite is a
-# knob, not the default.  colnorm is DISQUALIFIED (jitloop out of band,
-# results/r4/rand_ab.log).
+# (~6e-2 at the thr=1e-6 keep boundary vs qr's 6e-5).  qrlite is
+# DISQUALIFIED as a default: +15-19% sweeps/s on chip but a TPU-only
+# 10% grad_norm deviation at the 20q point AND a 16q jitloop collapse
+# to fobj=1.0 (results/r4/qrlite2.log) — the unfused-rand failure
+# signature.  colnorm is DISQUALIFIED too (jitloop out of band,
+# results/r4/rand_ab.log).  lu keeps ~the qrlite speed with no
+# squared-spectrum leg; its on-chip disposition: results/r4/lu_ab.log.
 _INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.

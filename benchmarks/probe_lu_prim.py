@@ -82,7 +82,29 @@ def main(b=10, n=128, ell=72):
     a = (a * np.logspace(0, -5, ell)[None, None, :]).astype(np.complex64)
     y = from_host(np.asarray(a))
 
-    for name, fn in [("qr", qr_stab), ("lu_pl", lu_stab)]:
+    def lu_fact_only(y: jax.Array) -> jax.Array:
+        # cost attribution: the getrf factorization + tril extract WITHOUT
+        # the inverse-permutation gather (NOT span-correct; timing only)
+        n, ell = y.shape[-2], y.shape[-1]
+        lu, _, _ = jax.lax.linalg.lu(y)
+        return jnp.tril(lu, -1)[..., :, :ell] + jnp.eye(n, ell, dtype=lu.dtype)
+
+    def lu_perm_matmul(y: jax.Array) -> jax.Array:
+        # permutation applied as a one-hot matmul (MXU) instead of a gather
+        n, ell = y.shape[-2], y.shape[-1]
+        lu, _, perm = jax.lax.linalg.lu(y)
+        l_fac = jnp.tril(lu, -1)[..., :, :ell] + jnp.eye(n, ell, dtype=lu.dtype)
+        onehot = (
+            perm[..., None, :] == jnp.arange(n, dtype=perm.dtype)[:, None]
+        ).astype(y.real.dtype)
+        return jnp.einsum("...ij,...jk->...ik", onehot.astype(y.dtype), l_fac)
+
+    for name, fn in [
+        ("qr", qr_stab),
+        ("lu_pl", lu_stab),
+        ("lu_fact_only", lu_fact_only),
+        ("lu_perm_matmul", lu_perm_matmul),
+    ]:
         try:
             per, v = slope_time(fn, y)
             print(
