@@ -85,8 +85,11 @@ _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
 # 10% grad_norm deviation at the 20q point AND a 16q jitloop collapse
 # to fobj=1.0 (results/r4/qrlite2.log) — the unfused-rand failure
 # signature.  colnorm is DISQUALIFIED too (jitloop out of band,
-# results/r4/rand_ab.log).  lu keeps ~the qrlite speed with no
-# squared-spectrum leg; its on-chip disposition: results/r4/lu_ab.log.
+# results/r4/rand_ab.log).  lu is SAFE (no squared-spectrum leg; grad
+# parity with qr to 5 digits on chip) but a measured WASH: batched
+# getrf costs what blocked Householder QR costs on this TPU (0.38 vs
+# 0.38 ms at 20q shapes, 1.05 vs 0.92 at 28q — results/r4/lu_ab.log),
+# so 2 LUs + 1 QR cannot beat 3 QRs.  Default stays qr.
 _INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
