@@ -42,12 +42,15 @@ chi-growth head phases, where the projection overhead cannot pay).
 
 from __future__ import annotations
 
+import math
 import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+_F32_EPS = float(jnp.finfo(jnp.float32).eps)
 
 from .jacobi_svd import DEFAULT_SWEEPS
 from .pallas_jacobi import _jacobi_pallas_raw, _pick_chunk, _sort_guard_top_k
@@ -89,7 +92,15 @@ _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
 # parity with qr to 5 digits on chip) but a measured WASH: batched
 # getrf costs what blocked Householder QR costs on this TPU (0.38 vs
 # 0.38 ms at 20q shapes, 1.05 vs 0.92 at 28q — results/r4/lu_ab.log),
-# so 2 LUs + 1 QR cannot beat 3 QRs.  Default stays qr.
+# so 2 LUs + 1 QR cannot beat 3 QRs.  "cholqr" (shifted CholeskyQR for
+# the intermediate legs only — gram on the MXU + small (l, l) Cholesky
+# + blocked triangular solve; the FINAL basis stays Householder) is the
+# only variant whose flops leave the VPU: XLA's Householder QR is
+# already AT the VPU roofline (~35 MFLOP/matrix incl. Q formation), so
+# no same-algorithm kernel can beat it — the MXU is the only headroom.
+# Unshifted CholeskyQR NaNs on graded spectra (see _orth's note); the
+# shift keeps the gram numerically PD and the pass span-preserving at
+# any f32 cond (see _cholqr_stab).  Disposition: results/r4/cholqr.log.
 _INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
@@ -126,6 +137,49 @@ def _lu_stab(y: jax.Array) -> jax.Array:
     l_fac = jnp.tril(lu, -1)[..., :, :ell] + jnp.eye(n, ell, dtype=lu.dtype)
     inv = jnp.argsort(perm, axis=-1)
     return jnp.take_along_axis(l_fac, inv[..., None].astype(jnp.int32), axis=-2)
+
+
+# Shift scale for the cholqr intermediate: shift = C * eps32 * sqrt(n)
+# * tr(G).  sqrt(n) tracks the stochastic rounding noise of the f32 gram
+# accumulation (~sqrt(n) * eps * s_max^2 per entry); C = 16 gives ~100x
+# PD margin over it while attenuating a thr=1e-6 keep-boundary direction
+# (amplitude sqrt(thr) * s_max = 1e-3 s_max) by only ~0.2 per pass —
+# two passes leave the boundary ~300x above the f32 span floor of the
+# final Householder QR (the qrlite failure sat at ~4x).
+_CHOLQR_SHIFT = float(os.environ.get("AQC_TPU_CHOLQR_SHIFT", "16.0"))
+
+
+def _cholqr_stab(y: jax.Array) -> jax.Array:
+    """One SHIFTED CholeskyQR pass: Q = Y L^{-H}, L = chol(Y^H Y + s I).
+
+    The MXU-resident stabilizer: the gram and the (right) triangular
+    solve are matmul-shaped, and only the small (l, l) Cholesky runs
+    sequentially — measured 1.9x cheaper than Householder QR at the
+    production shapes (results/r4/cholqr.log).  Span-preserving for any
+    f32-representable cond (right-multiplication by an invertible
+    factor); the shift keeps the gram numerically PD where the UNSHIFTED
+    CholeskyQR NaNs (see _orth's note).  The output is NOT orthonormal
+    to working precision at high cond — directions below sqrt(shift)
+    come out attenuated, not unit — which is exactly the contract an
+    INTERMEDIATE power-leg stabilization needs; the final range basis
+    stays Householder.  A per-matrix finiteness guard falls back to
+    column normalization on a failed factorization (bounded, always
+    finite), so a pathological draw degrades conditioning instead of
+    poisoning the sweep.
+    """
+    n, ell = y.shape[-2], y.shape[-1]
+    g = jnp.einsum("...ji,...jk->...ik", jnp.conj(y), y)
+    tr = jnp.trace(g, axis1=-2, axis2=-1).real[..., None, None]
+    shift = _CHOLQR_SHIFT * _F32_EPS * math.sqrt(n) * tr
+    l_fac = jnp.linalg.cholesky(g + shift.astype(g.dtype) * jnp.eye(ell, dtype=g.dtype))
+    yh = jnp.conj(jnp.swapaxes(y, -1, -2))
+    sol = jax.scipy.linalg.solve_triangular(l_fac, yh, lower=True)
+    q = jnp.conj(jnp.swapaxes(sol, -1, -2))
+    ok = jnp.all(jnp.isfinite(sol.real) & jnp.isfinite(sol.imag),
+                 axis=(-2, -1), keepdims=True)
+    nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=-2, keepdims=True))
+    fallback = y / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny).astype(y.dtype)
+    return jnp.where(ok, q, fallback)
 
 
 def _range_project(
@@ -165,6 +219,8 @@ def _range_project(
             return y / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny)
         if im == "lu":
             return _lu_stab(y)
+        if im == "cholqr":
+            return _cholqr_stab(y)
         return _orth(y)
 
     y = _stab(jnp.einsum("...ij,...jk->...ik", a, omega))
@@ -174,11 +230,12 @@ def _range_project(
         if im != "qrlite":
             z = _stab(z)
         y = jnp.einsum("...ij,...jk->...ik", a, z)
-        if im != "lu" or i < q_iters - 1:
-            # lu mode leaves the LAST power leg raw: the final Householder
-            # QR below orthonormalizes it directly (2 LUs + 1 QR at q=1).
+        if im not in ("lu", "cholqr") or i < q_iters - 1:
+            # lu/cholqr modes leave the LAST power leg raw: the final
+            # Householder QR below orthonormalizes it directly (2 cheap
+            # stabilizations + 1 QR at q=1).
             y = _stab(y)
-    if im in ("colnorm", "lu"):
+    if im in ("colnorm", "lu", "cholqr"):
         y = _orth(y)  # the final basis must be orthonormal
     return jnp.einsum("...ji,...jk->...ik", jnp.conj(y), a)  # (B, l, n)
 

@@ -176,16 +176,16 @@ class TestRandSvd(unittest.TestCase):
         self.assertLess(float(np.max(rel[big])), 1e-3)
 
     def test_lu_intermediate_graded_parity(self):
-        """rand_svd_top_k(intermediate="lu") matches the qr normalizer's
-        factor contract on the graded+junk production model (the mode is
-        selected per-call here; production selects it via
-        AQC_TPU_RAND_INTERMEDIATE=lu)."""
+        """rand_svd_top_k(intermediate="lu"/"cholqr") matches the qr
+        normalizer's factor contract on the graded+junk production model
+        (the mode is selected per-call here; production selects it via
+        AQC_TPU_RAND_INTERMEDIATE)."""
         rng = np.random.default_rng(7)
         m_np = _graded(rng, 3, 128, 0.05).astype(np.complex64)
         k = 64
         ss = np.linalg.svd(m_np, compute_uv=False)
         out = {}
-        for mode in ("qr", "lu"):
+        for mode in ("qr", "lu", "cholqr"):
             u, s, vh = rand_svd_top_k(jnp.asarray(m_np), k, 12, None, None, mode)
             u, s, vh = np.asarray(u), np.asarray(s), np.asarray(vh)
             rec = (u * s[..., None, :]) @ vh
@@ -194,11 +194,58 @@ class TestRandSvd(unittest.TestCase):
             # kept sigmas vs LAPACK, away-from-cut tolerance
             err = np.abs(s[..., :32] - ss[..., :32]) / ss[..., :32]
             self.assertLess(float(np.max(err)), 2e-3, mode)
-        # discarded weight: lu within 5% of qr's
+        # discarded weight: lu/cholqr within 5% of the optimal rank-k
         dw_opt = np.linalg.norm(
             m_np - _best_rank_k(m_np, k), axis=(1, 2)
         )
         self.assertLess(float(np.max(out["lu"][1] / dw_opt)), 1.05)
+        self.assertLess(float(np.max(out["cholqr"][1] / dw_opt)), 1.05)
+
+    def test_cholqr_stab_span_and_conditioning(self):
+        """The shifted-CholeskyQR intermediate stabilizer must (a) stay
+        finite on gradings whose squared-spectrum gram exceeds f32 (the
+        regime that NaNs UNSHIFTED CholeskyQR), (b) preserve the span of
+        the input columns, and (c) bound the output condition so the next
+        power leg sees an O(1/sqrt(shift))-conditioned basis."""
+        from aqc_research_tpu.ops.rand_svd import _cholqr_stab
+
+        rng = np.random.default_rng(8)
+        n, ell = 64, 24
+        y_np = _rand_c(rng, 3, n, ell) * np.logspace(0, -6, ell)[None, None, :]
+        y_np = y_np.astype(np.complex64)
+        q_out = np.asarray(_cholqr_stab(jnp.asarray(y_np)))
+        self.assertTrue(np.all(np.isfinite(q_out)))
+        # bounded condition: directions below sqrt(shift) come out
+        # attenuated (not unit), everything else ~orthonormal
+        self.assertLess(float(np.max(np.linalg.cond(q_out))), 1e4)
+        # span(Q) contains span(y) down to the graded column scales
+        q, _ = np.linalg.qr(q_out)
+        res = y_np - q @ (np.conj(np.swapaxes(q, -1, -2)) @ y_np)
+        col = np.linalg.norm(y_np, axis=-2)
+        rel = np.linalg.norm(res, axis=-2) / np.maximum(col, 1e-30)
+        big = col > 1e-4 * col.max()
+        self.assertLess(float(np.max(rel[big])), 1e-3)
+
+    def test_cholqr_nan_guard_falls_back(self):
+        """A failed (indefinite) Cholesky must degrade to the bounded
+        column-normalization fallback instead of poisoning the sweep: a
+        NEGATIVE shift guarantees an indefinite gram, and the guard must
+        return finite column-normalized output."""
+        from aqc_research_tpu.ops import rand_svd as rs
+
+        rng = np.random.default_rng(9)
+        y_np = (_rand_c(rng, 2, 32, 8) * np.logspace(0, -4, 8)[None, None, :]
+                ).astype(np.complex64)
+        old = rs._CHOLQR_SHIFT
+        try:
+            rs._CHOLQR_SHIFT = -1.0e6  # force an indefinite shifted gram
+            q_out = np.asarray(rs._cholqr_stab(jnp.asarray(y_np)))
+        finally:
+            rs._CHOLQR_SHIFT = old
+        self.assertTrue(np.all(np.isfinite(q_out)))
+        # fallback = column-normalized input
+        col = np.linalg.norm(q_out, axis=-2)
+        np.testing.assert_allclose(col, 1.0, rtol=1e-5)
 
     def test_dispatcher_rand_and_fallback(self):
         """ops/mps._truncated_svd routes impl="rand" through rand_svd_top_k
