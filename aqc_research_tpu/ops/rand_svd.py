@@ -140,17 +140,20 @@ def _lu_stab(y: jax.Array) -> jax.Array:
 
 
 # Shift scale for the cholqr intermediate: shift = C * eps32 * sqrt(n)
-# * tr(G).  sqrt(n) tracks the stochastic rounding noise of the f32 gram
-# accumulation (~sqrt(n) * eps * s_max^2 per entry); C = 16 gives ~100x
-# PD margin over it while attenuating a thr=1e-6 keep-boundary direction
-# (amplitude sqrt(thr) * s_max = 1e-3 s_max) by only ~0.2 per pass —
-# two passes leave the boundary ~300x above the f32 span floor of the
-# final Householder QR (the qrlite failure sat at ~4x).
+# * max_j G_jj.  The max DIAGONAL (~s_max^2) — NOT tr(G) — keys the
+# shift: on flat mid-optimization spectra tr(G) reaches l * s_max^2,
+# and a tr-keyed shift attenuated thr=1e-6 keep-boundary directions so
+# hard the 16q on-chip jitloop landed fobj=1.8e-2, 7x out of band
+# (results/r4/cholqr.log, first gauntlet).  sqrt(n) tracks the
+# stochastic rounding noise of the f32 gram accumulation (~sqrt(n) *
+# eps * s_max^2 per entry); C = 16 gives ~16x PD margin over it
+# independent of spectrum shape.
 _CHOLQR_SHIFT = float(os.environ.get("AQC_TPU_CHOLQR_SHIFT", "16.0"))
 
 
 def _cholqr_stab(y: jax.Array) -> jax.Array:
-    """One SHIFTED CholeskyQR pass: Q = Y L^{-H}, L = chol(Y^H Y + s I).
+    """One SHIFTED CholeskyQR pass: Q = normcols(Y L^{-H}),
+    L = chol(Y^H Y + s I).
 
     The MXU-resident stabilizer: the gram and the (right) triangular
     solve are matmul-shaped, and only the small (l, l) Cholesky runs
@@ -158,27 +161,37 @@ def _cholqr_stab(y: jax.Array) -> jax.Array:
     production shapes (results/r4/cholqr.log).  Span-preserving for any
     f32-representable cond (right-multiplication by an invertible
     factor); the shift keeps the gram numerically PD where the UNSHIFTED
-    CholeskyQR NaNs (see _orth's note).  The output is NOT orthonormal
-    to working precision at high cond — directions below sqrt(shift)
-    come out attenuated, not unit — which is exactly the contract an
-    INTERMEDIATE power-leg stabilization needs; the final range basis
-    stays Householder.  A per-matrix finiteness guard falls back to
-    column normalization on a failed factorization (bounded, always
-    finite), so a pathological draw degrades conditioning instead of
-    poisoning the sweep.
+    CholeskyQR NaNs (see _orth's note).  Directions below sqrt(shift)
+    come out of the solve attenuated; the closing COLUMN NORMALIZATION
+    re-enters them at unit scale — the same contract Householder QR
+    gives rank-deficient trailing columns (arbitrary-but-unit
+    directions that merely sample extra subspace) — so repeated passes
+    cannot compound attenuation into subspace loss (the failure the
+    tr-keyed shift produced, see above).  The result is orthonormal for
+    the well-separated directions and merely bounded-conditioned inside
+    the sqrt(shift) cluster, which is all an INTERMEDIATE power-leg
+    stabilization needs; the final range basis stays Householder.  A
+    per-matrix finiteness guard falls back to plain column
+    normalization on a failed factorization (bounded, always finite),
+    so a pathological draw degrades conditioning instead of poisoning
+    the sweep.
     """
     n, ell = y.shape[-2], y.shape[-1]
     g = jnp.einsum("...ji,...jk->...ik", jnp.conj(y), y)
-    tr = jnp.trace(g, axis1=-2, axis2=-1).real[..., None, None]
-    shift = _CHOLQR_SHIFT * _F32_EPS * math.sqrt(n) * tr
+    gd = jnp.diagonal(g, axis1=-2, axis2=-1).real
+    smax2 = jnp.max(gd, axis=-1)[..., None, None]
+    shift = _CHOLQR_SHIFT * _F32_EPS * math.sqrt(n) * smax2
     l_fac = jnp.linalg.cholesky(g + shift.astype(g.dtype) * jnp.eye(ell, dtype=g.dtype))
     yh = jnp.conj(jnp.swapaxes(y, -1, -2))
     sol = jax.scipy.linalg.solve_triangular(l_fac, yh, lower=True)
     q = jnp.conj(jnp.swapaxes(sol, -1, -2))
     ok = jnp.all(jnp.isfinite(sol.real) & jnp.isfinite(sol.imag),
                  axis=(-2, -1), keepdims=True)
+    tiny = jnp.finfo(jnp.float32).tiny
+    qn = jnp.sqrt(jnp.sum(jnp.abs(q) ** 2, axis=-2, keepdims=True))
+    q = q / jnp.maximum(qn, tiny).astype(q.dtype)
     nrm = jnp.sqrt(jnp.sum(jnp.abs(y) ** 2, axis=-2, keepdims=True))
-    fallback = y / jnp.maximum(nrm, jnp.finfo(jnp.float32).tiny).astype(y.dtype)
+    fallback = y / jnp.maximum(nrm, tiny).astype(y.dtype)
     return jnp.where(ok, q, fallback)
 
 
