@@ -100,8 +100,43 @@ _POWER_ITERS = int(os.environ.get("AQC_TPU_RAND_POWER_ITERS", "1"))
 # no same-algorithm kernel can beat it — the MXU is the only headroom.
 # Unshifted CholeskyQR NaNs on graded spectra (see _orth's note); the
 # shift keeps the gram numerically PD and the pass span-preserving at
-# any f32 cond (see _cholqr_stab).  Disposition: results/r4/cholqr.log.
+# any f32 cond (see _cholqr_stab).  cholqr is DISQUALIFIED as a default
+# after TWO on-chip gauntlets (results/r4/cholqr.log, cholqr_v2.log):
+# +14-18% sweeps/s at both production shapes, but the 16q chi=64 jitloop
+# canary lands OUT OF BAND under both shift keyings (trace-keyed v1:
+# fobj 1.8e-2; max-diagonal v2 with unit-scale re-entry: 3.43e-3 vs band
+# 2.42-2.46e-3), with a systematic -0.93% grad_norm deviation at both
+# 20q evidence points (28q exact; 10q CPU jitloop in band) — the
+# shifted pass's keep-boundary attenuation is margin-unsafe exactly
+# where it is fast.  The QR-count/implementation lever is hereby CLOSED:
+# qrlite (unsafe), colnorm (unsafe), lu (wash), cholqr v1/v2 (unsafe),
+# blocked-chol (slower), final-basis cholqr2/3 (wash + unsafe) are all
+# measured.  The default stays "qr"; lu is the safe alternate knob.
 _INTERMEDIATE = os.environ.get("AQC_TPU_RAND_INTERMEDIATE", "qr")
+# Final range-basis orthonormalization: "qr" (Householder — backward-
+# stable at any condition, the default) or "cholqrK" for K >= 2 repeated
+# shifted-CholeskyQR passes ("cholqr2"/"cholqr3").  Where the INTERMEDIATE
+# cholqr knob removes 2 of the 3 Householder QRs at q=1, this removes the
+# LAST one, making the whole range-finder MXU-resident.  The numerical
+# exposure is different from the intermediates': the final basis Q enters
+# the projection B = Q^H A, so any residual non-orthonormality of Q
+# distorts the reduced problem's singular values (and with them the
+# keep/drop boundary).  One shifted pass bounds the output condition at
+# ~1/sqrt(shift) (see _cholqr_stab); each further pass squares down the
+# deviation, so cholqr2 lands ~eps*cond(pass1-output)^2 and cholqr3 is
+# eps-class orthonormal for any input the shift admits.  MEASURED A WASH
+# on chip (results/r4/cholqr_prim_chip.log): cholqr2 0.252 vs qr 0.279 ms
+# at b=10 n=128 l=72 and 1.22 vs 1.20 at n=256 l=144 — two gram+chol+
+# trisolve passes cost what one Householder QR costs, so removing the
+# final QR buys ~1% of the route at 20q and nothing at 28q.  AND UNSAFE:
+# BOTH cholqr2 and cholqr3 pass the point-probe parity tests (graded+junk
+# sigma/discarded-weight, tests/test_rand_svd.py) yet COLLAPSE the 10q
+# chi=16 CPU jitloop to fobj=1.0 (the qrlite/unfused failure signature),
+# while the same jitloop with the cholqr INTERMEDIATE + Householder final
+# stays in band (7.80e-4) — final-basis distortion at the keep boundary
+# is a mid-optimization hazard no point probe sees.  Experiment-only
+# knob; the default keeps Householder.
+_FINAL = os.environ.get("AQC_TPU_RAND_FINAL", "qr")
 # Below this matrix size the projection overhead cannot pay; the dispatcher
 # (ops/mps._truncated_svd) falls back to the plain Jacobi kernel.
 RAND_MIN_N = int(os.environ.get("AQC_TPU_RAND_MIN_N", "128"))
@@ -137,6 +172,121 @@ def _lu_stab(y: jax.Array) -> jax.Array:
     l_fac = jnp.tril(lu, -1)[..., :, :ell] + jnp.eye(n, ell, dtype=lu.dtype)
     inv = jnp.argsort(perm, axis=-1)
     return jnp.take_along_axis(l_fac, inv[..., None].astype(jnp.int32), axis=-2)
+
+
+# The (l, l) Cholesky implementation inside _cholqr_stab.  XLA's native
+# cholesky lowers to a while_loop with dynamic-slice panel updates and was
+# measured at ~7% of VPU peak (0.128/0.333 ms at the production shapes —
+# ~70% of the whole cholqr pass, results/r4/cholqr.log).  "blocked" is a
+# STATIC fully-unrolled right-looking blocked factorization (8-wide
+# panels): every slice is compile-time constant, so XLA fuses the panel
+# recurrences and runs the trailing updates as plain MXU matmuls — no
+# while_loop, no dynamic slices.  The paired blocked forward substitution
+# replaces solve_triangular (same trick) so the whole stabilizer becomes
+# matmuls + O(l/8) fused vector steps.
+# MEASURED NEGATIVE on chip (results/r4/cholqr_prim_chip.log): the
+# unrolled panel recurrences compile to scalar-shaped VPU soup that costs
+# 2x XLA's potrf (chol 0.276 vs 0.137 ms, full pass 0.343 vs 0.179 at
+# b=10 n=128 l=72) — the dynamic-slice while_loop was not the bottleneck
+# this toolchain.  Kept as a parity-tested knob; the default stays "xla".
+_CHOLQR_CHOL = os.environ.get("AQC_TPU_CHOLQR_CHOL", "xla")
+_CHOL_BLOCK = 8
+
+
+def _tri_inv_block(d: jax.Array) -> jax.Array:
+    """Explicit inverse of a batched small lower-triangular block
+    (..., m, m), m = _CHOL_BLOCK, by unrolled forward substitution on the
+    identity.  m is tiny and static, so this compiles to m fused vector
+    steps; conditioning is bounded by the shifted gram's (see
+    _cholqr_stab), far inside f32 range."""
+    m = d.shape[-1]
+    eye = jnp.eye(m, dtype=d.dtype)
+    cols = []
+    for j in range(m):
+        # Solve d @ x = e_j: x[i] = (e_j[i] - sum_{k<i} d[i,k] x[k]) / d[i,i].
+        x = [jnp.zeros(d.shape[:-2], d.dtype)] * m
+        for i in range(j, m):
+            acc = eye[i, j]
+            for k in range(j, i):
+                acc = acc - d[..., i, k] * x[k]
+            x[i] = acc / d[..., i, i]
+        cols.append(jnp.stack(x, axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def _chol_blocked(g: jax.Array) -> jax.Array:
+    """Batched complex Cholesky of (..., l, l) PD ``g`` with l % 8 == 0,
+    right-looking blocked, statically unrolled (see _CHOLQR_CHOL)."""
+    m = _CHOL_BLOCK
+    ell = g.shape[-1]
+    assert ell % m == 0, ell
+    nb = ell // m
+    a = g
+    diag_blocks = []  # (..., m, m) lower-tri factors of each panel
+    col_panels = []  # (..., ell - (j+1)*m, m) sub-diagonal column panels
+    for j in range(nb):
+        d = a[..., :m, :m]
+        # Unblocked Cholesky of the (m, m) panel: m static rank-1 steps.
+        ld_cols = []
+        for k in range(m):
+            dk = jnp.sqrt(d[..., k, k].real)
+            c = d[..., :, k] / dk.astype(d.dtype)[..., None]
+            # Zero above the diagonal (the input's upper part is garbage
+            # from previous updates; the factor is lower-triangular).
+            c = jnp.where(jnp.arange(m) >= k, c, 0.0)
+            ld_cols.append(c)
+            d = d - c[..., :, None] * jnp.conj(c)[..., None, :]
+        ld = jnp.stack(ld_cols, axis=-1)
+        diag_blocks.append(ld)
+        if j < nb - 1:
+            a21 = a[..., m:, :m]
+            # Column panel: C = A21 @ inv(Ld)^H (one MXU matmul).
+            inv_ld = _tri_inv_block(ld)
+            c_panel = jnp.einsum(
+                "...ik,...jk->...ij", a21, jnp.conj(inv_ld)
+            )
+            col_panels.append(c_panel)
+            # Trailing update: A22 -= C @ C^H (MXU).
+            a = a[..., m:, m:] - jnp.einsum(
+                "...ik,...jk->...ij", c_panel, jnp.conj(c_panel)
+            )
+    # Assemble L from the static panels.
+    rows = []
+    for i in range(nb):
+        row = []
+        for j in range(nb):
+            if j > i:
+                row.append(
+                    jnp.zeros(g.shape[:-2] + (m, m), g.dtype)
+                )
+            elif j == i:
+                row.append(diag_blocks[i])
+            else:
+                row.append(col_panels[j][..., (i - j - 1) * m : (i - j) * m, :])
+        rows.append(jnp.concatenate(row, axis=-1))
+    return jnp.concatenate(rows, axis=-2)
+
+
+def _tri_solve_blocked(l_fac: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve ``l_fac @ x = b`` (lower-triangular l_fac (..., l, l),
+    rhs (..., l, n)), blocked forward substitution, statically unrolled:
+    per row block, one accumulated MXU matmul + one small inverse apply."""
+    m = _CHOL_BLOCK
+    ell = l_fac.shape[-1]
+    assert ell % m == 0, ell
+    nb = ell // m
+    x_blocks = []
+    for i in range(nb):
+        rhs = b[..., i * m : (i + 1) * m, :]
+        if i > 0:
+            done = jnp.concatenate(x_blocks, axis=-2)  # (..., i*m, n)
+            lrow = l_fac[..., i * m : (i + 1) * m, : i * m]
+            rhs = rhs - lrow @ done
+        inv_d = _tri_inv_block(
+            l_fac[..., i * m : (i + 1) * m, i * m : (i + 1) * m]
+        )
+        x_blocks.append(inv_d @ rhs)
+    return jnp.concatenate(x_blocks, axis=-2)
 
 
 # Shift scale for the cholqr intermediate: shift = C * eps32 * sqrt(n)
@@ -181,9 +331,14 @@ def _cholqr_stab(y: jax.Array) -> jax.Array:
     gd = jnp.diagonal(g, axis1=-2, axis2=-1).real
     smax2 = jnp.max(gd, axis=-1)[..., None, None]
     shift = _CHOLQR_SHIFT * _F32_EPS * math.sqrt(n) * smax2
-    l_fac = jnp.linalg.cholesky(g + shift.astype(g.dtype) * jnp.eye(ell, dtype=g.dtype))
+    g_shifted = g + shift.astype(g.dtype) * jnp.eye(ell, dtype=g.dtype)
     yh = jnp.conj(jnp.swapaxes(y, -1, -2))
-    sol = jax.scipy.linalg.solve_triangular(l_fac, yh, lower=True)
+    if _CHOLQR_CHOL == "blocked" and ell % _CHOL_BLOCK == 0:
+        l_fac = _chol_blocked(g_shifted)
+        sol = _tri_solve_blocked(l_fac, yh)
+    else:
+        l_fac = jnp.linalg.cholesky(g_shifted)
+        sol = jax.scipy.linalg.solve_triangular(l_fac, yh, lower=True)
     q = jnp.conj(jnp.swapaxes(sol, -1, -2))
     ok = jnp.all(jnp.isfinite(sol.real) & jnp.isfinite(sol.imag),
                  axis=(-2, -1), keepdims=True)
@@ -195,15 +350,33 @@ def _cholqr_stab(y: jax.Array) -> jax.Array:
     return jnp.where(ok, q, fallback)
 
 
+def _final_basis(y: jax.Array, final: str | None = None) -> jax.Array:
+    """The FINAL range-basis orthonormalization (see _FINAL): Householder
+    QR by default, or K repeated shifted-CholeskyQR passes ("cholqrK")."""
+    fm = _FINAL if final is None else final
+    if fm.startswith("cholqr"):
+        passes = int(fm[len("cholqr"):] or "2")
+        for _ in range(passes):
+            y = _cholqr_stab(y)
+        return y
+    return _orth(y)
+
+
 def _range_project(
-    a: jax.Array, ell: int, q_iters: int, intermediate: str | None = None
+    a: jax.Array,
+    ell: int,
+    q_iters: int,
+    intermediate: str | None = None,
+    final: str | None = None,
 ) -> jax.Array:
     """HMT range-finder + projection: returns B = Q^H A of shape (B, l, n)
     for ``a`` (B, n, n) complex, where Q is an orthonormal basis of the
     sketched (power-iterated) range of A.  Shared by :func:`rand_svd_top_k`
     and the fused_rand pair-update route (ops/fused_rand.py).
     ``intermediate`` overrides the module-level normalizer selection (qr /
-    lu / qrlite / colnorm); None reads AQC_TPU_RAND_INTERMEDIATE."""
+    lu / qrlite / colnorm); None reads AQC_TPU_RAND_INTERMEDIATE.
+    ``final`` overrides the final-basis selection (qr / cholqrK); None
+    reads AQC_TPU_RAND_FINAL."""
     im = _INTERMEDIATE if intermediate is None else intermediate
     b, n = a.shape[0], a.shape[-1]
     # Test matrices are drawn INDEPENDENTLY per batch element (HMT failure
@@ -236,20 +409,23 @@ def _range_project(
             return _cholqr_stab(y)
         return _orth(y)
 
-    y = _stab(jnp.einsum("...ij,...jk->...ik", a, omega))
+    y = jnp.einsum("...ij,...jk->...ik", a, omega)
+    y = _final_basis(y, final) if q_iters == 0 else _stab(y)
     ah = jnp.conj(jnp.swapaxes(a, -1, -2))
     for i in range(q_iters):
         z = jnp.einsum("...ij,...jk->...ik", ah, y)
         if im != "qrlite":
             z = _stab(z)
         y = jnp.einsum("...ij,...jk->...ik", a, z)
-        if im not in ("lu", "cholqr") or i < q_iters - 1:
-            # lu/cholqr modes leave the LAST power leg raw: the final
-            # Householder QR below orthonormalizes it directly (2 cheap
-            # stabilizations + 1 QR at q=1).
+        if i < q_iters - 1:
             y = _stab(y)
-    if im in ("colnorm", "lu", "cholqr"):
-        y = _orth(y)  # the final basis must be orthonormal
+        else:
+            # The last power leg goes straight into the final-basis
+            # orthonormalization (for lu/cholqr intermediates this is what
+            # makes them pay: 2 cheap stabilizations + 1 real basis at
+            # q=1; for qr mode _final_basis("qr") IS the loop's closing
+            # Householder pass, unchanged).
+            y = _final_basis(y, final)
     return jnp.einsum("...ji,...jk->...ik", jnp.conj(y), a)  # (B, l, n)
 
 
@@ -260,7 +436,7 @@ def rand_ell(n: int, k: int, oversample: int | None = None) -> int:
     return ell + ell % 2
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def rand_svd_top_k(
     m: jax.Array,
     k: int,
@@ -268,6 +444,7 @@ def rand_svd_top_k(
     oversample: int | None = None,
     power_iters: int | None = None,
     intermediate: str | None = None,
+    final: str | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Top-k truncated SVD via randomized projection + the reduced Jacobi
     kernel; same contract as
@@ -285,7 +462,7 @@ def rand_svd_top_k(
     b = a.shape[0]
     ell = rand_ell(n, k, oversample)
     q_iters = _POWER_ITERS if power_iters is None else power_iters
-    bm = _range_project(a, ell, q_iters, intermediate)  # (B, l, n)
+    bm = _range_project(a, ell, q_iters, intermediate, final)  # (B, l, n)
 
     # Reduced one-sided Jacobi on M = B^H (n x l): the kernel's transposed
     # working layout (row j = column j of M) is exactly conj(bm) — l rows

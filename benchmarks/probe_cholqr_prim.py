@@ -96,6 +96,35 @@ def cholqr2_stab(y: jax.Array) -> jax.Array:
     return cholqr_stab(cholqr_stab(y))
 
 
+def chol_blocked_only(y: jax.Array) -> jax.Array:
+    """chol_only with the static-unrolled blocked factorization
+    (rand_svd._chol_blocked) in place of XLA's while_loop potrf."""
+    from aqc_research_tpu.ops.rand_svd import _chol_blocked
+
+    g = jnp.einsum("...ji,...jk->...ik", jnp.conj(y), y)
+    ell = g.shape[-1]
+    tr = jnp.trace(g, axis1=-2, axis2=-1).real[..., None, None]
+    gs = g + (16.0 * _EPS32) * tr * jnp.eye(ell, dtype=g.dtype)
+    l_fac = _chol_blocked(gs)
+    return jnp.einsum("...ij,...jk->...ik", y, l_fac / jnp.maximum(
+        jnp.abs(l_fac).max(), 1.0
+    ))
+
+
+def cholqr_blocked_stab(y: jax.Array) -> jax.Array:
+    """Full shifted-CholQR pass with blocked chol + blocked trisolve."""
+    from aqc_research_tpu.ops.rand_svd import _chol_blocked, _tri_solve_blocked
+
+    g = jnp.einsum("...ji,...jk->...ik", jnp.conj(y), y)
+    ell = g.shape[-1]
+    tr = jnp.trace(g, axis1=-2, axis2=-1).real[..., None, None]
+    gs = g + (16.0 * _EPS32) * tr * jnp.eye(ell, dtype=g.dtype)
+    l_fac = _chol_blocked(gs)
+    yh = jnp.conj(jnp.swapaxes(y, -1, -2))
+    sol = _tri_solve_blocked(l_fac, yh)
+    return jnp.conj(jnp.swapaxes(sol, -1, -2))
+
+
 def slope_time(fn, y, k_lo=5, k_hi=55):
     def loop(k):
         @jax.jit
@@ -132,6 +161,8 @@ def main(b=10, n=128, ell=72):
         ("chol_only", chol_only),
         ("cholqr", cholqr_stab),
         ("cholqr2", cholqr2_stab),
+        ("chol_blocked_only", chol_blocked_only),
+        ("cholqr_blocked", cholqr_blocked_stab),
     ]:
         try:
             per, v = slope_time(fn, y)

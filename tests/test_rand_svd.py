@@ -226,6 +226,79 @@ class TestRandSvd(unittest.TestCase):
         big = col > 1e-4 * col.max()
         self.assertLess(float(np.max(rel[big])), 1e-3)
 
+    def test_final_cholqr_graded_parity(self):
+        """rand_svd_top_k(final="cholqr2"/"cholqr3") — the all-MXU
+        range-finder with repeated shifted-CholeskyQR in place of the
+        FINAL Householder basis — must match qr's factor contract on the
+        graded+junk production model (per-call selection here; production
+        selects via AQC_TPU_RAND_FINAL)."""
+        rng = np.random.default_rng(11)
+        m_np = _graded(rng, 3, 128, 0.05).astype(np.complex64)
+        k = 64
+        ss = np.linalg.svd(m_np, compute_uv=False)
+        dw_opt = np.linalg.norm(m_np - _best_rank_k(m_np, k), axis=(1, 2))
+        for final in ("cholqr2", "cholqr3"):
+            u, s, vh = rand_svd_top_k(
+                jnp.asarray(m_np), k, 12, None, None, "cholqr", final
+            )
+            u, s, vh = np.asarray(u), np.asarray(s), np.asarray(vh)
+            err = np.abs(s[..., :32] - ss[..., :32]) / ss[..., :32]
+            self.assertLess(float(np.max(err)), 2e-3, final)
+            rec = (u * s[..., None, :]) @ vh
+            dw = np.linalg.norm(m_np - rec, axis=(1, 2))
+            self.assertLess(float(np.max(dw / dw_opt)), 1.05, final)
+
+    def test_final_basis_orthonormality(self):
+        """Repeated shifted-CholeskyQR passes must drive the basis toward
+        orthonormality (each pass squares the deviation down): on a
+        1e3-conditioned graded input — the class the final basis sees
+        after one stabilized power leg — cholqr2 must land within 1e-2 of
+        orthonormal and cholqr3 within 1e-3 (Householder is eps-class)."""
+        from aqc_research_tpu.ops.rand_svd import _final_basis
+
+        rng = np.random.default_rng(12)
+        n, ell = 128, 24
+        y_np = _rand_c(rng, 3, n, ell) * np.logspace(0, -3, ell)[None, None, :]
+        y_np = y_np.astype(np.complex64)
+        devs = {}
+        for fm in ("qr", "cholqr2", "cholqr3"):
+            q = np.asarray(_final_basis(jnp.asarray(y_np), fm))
+            gram = np.einsum("bji,bjk->bik", q.conj(), q)
+            eye = np.eye(ell)
+            devs[fm] = float(np.max(np.abs(gram - eye)))
+            # span preserved (the stabilizer contract)
+            qq, _ = np.linalg.qr(q)
+            res = y_np - qq @ (np.conj(np.swapaxes(qq, -1, -2)) @ y_np)
+            col = np.linalg.norm(y_np, axis=-2)
+            rel = np.linalg.norm(res, axis=-2) / np.maximum(col, 1e-30)
+            big = col > 1e-4 * col.max()
+            self.assertLess(float(np.max(rel[big])), 1e-3, fm)
+        self.assertLess(devs["qr"], 1e-5)
+        self.assertLess(devs["cholqr2"], 1e-2)
+        self.assertLess(devs["cholqr3"], 1e-3)
+
+    def test_blocked_chol_matches_xla(self):
+        """The static-unrolled blocked Cholesky + blocked trisolve
+        (AQC_TPU_CHOLQR_CHOL=blocked) must reproduce XLA's potrf route
+        inside _cholqr_stab to f32 accuracy on the graded stabilizer
+        input class."""
+        from aqc_research_tpu.ops import rand_svd as rs
+
+        rng = np.random.default_rng(13)
+        n, ell = 64, 24
+        y_np = _rand_c(rng, 3, n, ell) * np.logspace(0, -5, ell)[None, None, :]
+        y_np = y_np.astype(np.complex64)
+        old = rs._CHOLQR_CHOL
+        try:
+            rs._CHOLQR_CHOL = "xla"
+            q_xla = np.asarray(rs._cholqr_stab(jnp.asarray(y_np)))
+            rs._CHOLQR_CHOL = "blocked"
+            q_blk = np.asarray(rs._cholqr_stab(jnp.asarray(y_np)))
+        finally:
+            rs._CHOLQR_CHOL = old
+        self.assertTrue(np.all(np.isfinite(q_blk)))
+        np.testing.assert_allclose(q_blk, q_xla, atol=5e-4)
+
     def test_cholqr_nan_guard_falls_back(self):
         """A failed (indefinite) Cholesky must degrade to the bounded
         column-normalization fallback instead of poisoning the sweep: a
