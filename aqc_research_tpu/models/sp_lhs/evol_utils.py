@@ -130,6 +130,8 @@ def get_commandline_args(parser: ArgumentParser) -> Any:
                         help="path to a file with precomputed targets")
     parser.add_argument("--cpu", action="store_true",
                         help="flag: force the CPU backend (f64 precision)")
+    parser.add_argument("--resume", default="", type=str, metavar="",
+                        help="results folder of an interrupted run to resume")
     params = parser.parse_args()
     assert 2 <= params.num_qubits
     _logger.info("Command-line arguments: %s", params.__dict__)

@@ -36,6 +36,68 @@ from .user_options import UserOptions
 
 _logger = create_logger(__file__)
 
+# Per-horizon progress checkpoint (enables ``opts.resume_dir``): written
+# atomically after every completed horizon, consumed by a later run with
+# the same schedule.  The reference driver persists nothing until the very
+# end (time_evol_best_init.py:385), so a crash loses every horizon.
+_CHECKPOINT_FILE = "horizon_checkpoint.pkl"
+
+
+def _schedule_fingerprint(opts: UserOptions) -> dict:
+    """The options that define the horizon schedule and its physics; a
+    resumed run must match them exactly (plain scalars/lists so equality
+    is well-defined across pickle round trips)."""
+    return {
+        "num_qubits": int(opts.num_qubits),
+        "objective": str(opts.objective),
+        "delta": float(opts.delta),
+        "trunc_thr": float(opts.trunc_thr),
+        "chi_max": int(opts.chi_max),
+        "evol_times": [float(t) for t in np.asarray(opts.evol_times).ravel()],
+        "trotter_steps": [int(s) for s in np.asarray(opts.trotter_steps).ravel()],
+        "second_order_trotter": bool(opts.second_order_trotter),
+    }
+
+
+def _save_horizon_checkpoint(
+    output_dir: str, opts: UserOptions, all_results: list, prev_solution
+) -> None:
+    """Atomic write (tmp + rename): a crash mid-dump never corrupts the
+    previously saved checkpoint."""
+    path = os.path.join(output_dir, _CHECKPOINT_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fld:
+        pickle.dump(
+            {
+                "fingerprint": _schedule_fingerprint(opts),
+                "all_results": all_results,
+                "prev_solution": prev_solution,
+            },
+            fld,
+        )
+    os.replace(tmp, path)
+
+
+def _load_horizon_checkpoint(output_dir: str, opts: UserOptions):
+    """Returns (all_results, prev_solution) of the completed horizons; an
+    empty list when no checkpoint exists.  Refuses a schedule mismatch —
+    silently mixing horizons of two different configurations would corrupt
+    the result archive."""
+    path = os.path.join(output_dir, _CHECKPOINT_FILE)
+    if not os.path.isfile(path):
+        return [], None
+    with open(path, "rb") as fld:
+        data = pickle.load(fld)
+    want = _schedule_fingerprint(opts)
+    have = data.get("fingerprint")
+    if have != want:
+        raise ValueError(
+            "resume refused: the checkpoint in "
+            f"{output_dir!r} was written under a different schedule "
+            f"(saved {have!r}, requested {want!r})"
+        )
+    return list(data["all_results"]), data.get("prev_solution")
+
 
 def _create_objective(
     *,
@@ -366,7 +428,20 @@ def run_simulation(opts: UserOptions) -> str:
     """Top entry point: per-horizon simulations, persistence, plots
     (cf. time_evol_best_init.py:337-395)."""
     print_options(opts.__dict__, _logger)
-    output_dir = trot_utils.prepare_output_folder(opts, __file__)
+    resume_dir = str(getattr(opts, "resume_dir", "") or "")
+    if resume_dir:
+        if not os.path.isdir(resume_dir):
+            raise ValueError(f"resume_dir does not exist: {resume_dir!r}")
+        output_dir = resume_dir
+        all_results, prev_solution = _load_horizon_checkpoint(output_dir, opts)
+        _logger.info(
+            "resuming into %s after %d completed horizon(s)",
+            output_dir,
+            len(all_results),
+        )
+    else:
+        output_dir = trot_utils.prepare_output_folder(opts, __file__)
+        all_results, prev_solution = [], None
     targets = get_target_states(opts)
     if opts.target_only:
         return output_dir
@@ -374,9 +449,9 @@ def run_simulation(opts: UserOptions) -> str:
     targets = targets[0 : min(len(targets), len(opts.trotter_steps))]
     user_exit = UserExit(True)
 
-    all_results = []
-    prev_solution = None
     for idx, targ in enumerate(targets):
+        if idx < len(all_results):
+            continue  # restored from the horizon checkpoint
         if user_exit.terminate():
             break
         if chk.is_list(opts.manual_num_layers) and len(opts.manual_num_layers) > idx:
@@ -400,6 +475,7 @@ def run_simulation(opts: UserOptions) -> str:
                 "evol_time": float(res["evol_time1"]),
                 "num_qubits": int(res["num_qubits"]),
             }
+        _save_horizon_checkpoint(output_dir, opts, all_results, prev_solution)
 
     with open(os.path.join(output_dir, "all_results.pkl"), "wb") as fld:
         pickle.dump(all_results, fld)

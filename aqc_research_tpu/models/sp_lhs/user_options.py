@@ -92,6 +92,17 @@ class UserOptions:
         # Debugging: store intermediate optimization results.
         self.save_intermediate_results = False
 
+        # Resume an interrupted simulation: path to an existing results
+        # folder of a PREVIOUS run with the same schedule.  Completed
+        # horizons are restored from its horizon checkpoint
+        # (``horizon_checkpoint.pkl``, written after every horizon) and
+        # skipped; the remaining horizons run into the SAME folder.  The
+        # schedule fingerprint (qubits/objective/thresholds/time grid) must
+        # match, otherwise the resume is refused.  Empty string = fresh run.
+        # (The reference driver has no resume: a crash at horizon k of 6
+        # loses all completed horizons, time_evol_best_init.py:385.)
+        self.resume_dir = str(getattr(cargs, "resume", "")) if cargs else ""
+
         # Maximal number of ansatz expansions per horizon: when the optimized
         # fidelity falls short of the threshold, up to this many extra layers
         # are inserted and the horizon re-optimized (the reference implements

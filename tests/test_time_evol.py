@@ -177,6 +177,84 @@ class TestWarmStartHorizons:
         assert _warm_start_thetas(c4, opts, 2.4, bad) is None
 
 
+class TestHorizonResume:
+    """Per-horizon checkpoint/resume (opts.resume_dir): a run that dies at
+    horizon k restarts from its results folder, restores the k-1 completed
+    horizons from horizon_checkpoint.pkl, and only computes the remainder.
+    (The reference driver persists nothing until the very end,
+    time_evol_best_init.py:385.)"""
+
+    def _crashed_run(self, tmp_path, monkeypatch):
+        """Runs a 2-horizon simulation that crashes entering horizon 2;
+        returns (opts, output_dir with a 1-horizon checkpoint)."""
+        import glob
+        import os
+
+        import aqc_research_tpu.models.sp_lhs.time_evol as te
+
+        opts = _mini_opts(tmp_path, "sur_max", num_qubits=3, num_horizons=2)
+        opts.maxiter = 4
+        real = te._time_evolution
+        calls = {"n": 0}
+
+        def crash_on_second(**kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash")
+            return real(**kw)
+
+        monkeypatch.setattr(te, "_time_evolution", crash_on_second)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            run_simulation(opts)
+        monkeypatch.setattr(te, "_time_evolution", real)
+
+        dirs = glob.glob(os.path.join(str(tmp_path), "3qubits", "*"))
+        assert len(dirs) == 1
+        assert os.path.isfile(os.path.join(dirs[0], te._CHECKPOINT_FILE))
+        return opts, dirs[0]
+
+    def test_resume_completes_schedule(self, tmp_path, monkeypatch):
+        import os
+        import pickle
+
+        import aqc_research_tpu.models.sp_lhs.time_evol as te
+
+        opts, out_dir = self._crashed_run(tmp_path, monkeypatch)
+
+        real = te._time_evolution
+        calls = {"n": 0}
+
+        def counting(**kw):
+            calls["n"] += 1
+            return real(**kw)
+
+        monkeypatch.setattr(te, "_time_evolution", counting)
+        opts.resume_dir = out_dir
+        resumed_dir = run_simulation(opts)
+
+        assert resumed_dir == out_dir
+        assert calls["n"] == 1  # only the missing horizon was computed
+        with open(os.path.join(out_dir, "all_results.pkl"), "rb") as fld:
+            results = pickle.load(fld)
+        assert len(results) == 2
+        assert [r["evol_time1"] for r in results] == list(opts.evol_times)
+        for res in results:
+            assert res["fid_a1_vs_gt"] > 0.9
+
+    def test_resume_refuses_schedule_mismatch(self, tmp_path, monkeypatch):
+        opts, out_dir = self._crashed_run(tmp_path, monkeypatch)
+        opts.resume_dir = out_dir
+        opts.trunc_thr = 1e-8  # different physics -> different fingerprint
+        with pytest.raises(ValueError, match="resume refused"):
+            run_simulation(opts)
+
+    def test_resume_refuses_missing_dir(self, tmp_path):
+        opts = _mini_opts(tmp_path, "sur_max", num_qubits=3, num_horizons=2)
+        opts.resume_dir = str(tmp_path / "no_such_dir")
+        with pytest.raises(ValueError, match="resume_dir does not exist"):
+            run_simulation(opts)
+
+
 class TestExpansionLoop:
     def test_layer_expansion_engages(self, tmp_path):
         """num_expansions > 0: an undersized ansatz with an unreachable-at-
