@@ -110,10 +110,15 @@ def aqc_coordinate_descent(
     num_simulations: int = 1,
     num_jobs: int = 1,
     tag: str = "",
+    job_cache_dir: Optional[str] = None,
     logger: Optional[logging.Logger] = None,
 ) -> str:
     """Multi-start coordinate-descent AQC (cf. reference
-    aqc_coordinate_descent, aqc_coord_descent.py:125-232)."""
+    aqc_coordinate_descent, aqc_coord_descent.py:125-232).
+
+    ``job_cache_dir``: stable directory for per-job result caching — re-run
+    the same call after a crash and completed restarts are reused instead of
+    recomputed (see parallel.executor.run_jobs)."""
     assert chk.is_int(num_qubits, num_qubits >= 2)
     assert circ_layout in sku.supported_layouts()
     assert chk.is_int(maxiter, maxiter > 0)
@@ -146,6 +151,7 @@ def aqc_coordinate_descent(
         job_function=_single_simulation,
         tolerate_failure=True,
         num_jobs=num_jobs,
+        cache_dir=job_cache_dir,
     )
     sku.postprocess_and_save_results(
         num_qubits=num_qubits,

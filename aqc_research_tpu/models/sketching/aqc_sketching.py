@@ -166,10 +166,15 @@ def aqc_sketching(
     num_simulations: int = 1,
     num_jobs: int = 1,
     tag: str = "",
+    job_cache_dir: Optional[str] = None,
     logger: Optional[logging.Logger] = None,
 ) -> str:
     """Runs multi-start AQC-sketching simulations; returns the results folder
-    (cf. reference aqc_sketching, aqc_sketching.py:165-283)."""
+    (cf. reference aqc_sketching, aqc_sketching.py:165-283).
+
+    ``job_cache_dir``: stable directory for per-job result caching — re-run
+    the same call after a crash and completed restarts are reused instead of
+    recomputed (see parallel.executor.run_jobs)."""
     assert chk.is_int(num_qubits, num_qubits >= 2)
     assert chk.is_int(num_skvecs, num_skvecs > 0)
     assert circ_layout in sku.supported_layouts()
@@ -208,6 +213,7 @@ def aqc_sketching(
         job_function=_single_simulation,
         tolerate_failure=True,
         num_jobs=num_jobs,
+        cache_dir=job_cache_dir,
     )
     sku.postprocess_and_save_results(
         num_qubits=num_qubits,

@@ -15,23 +15,69 @@ Per-job seeding keeps the reference's reproducibility contract:
 
 from __future__ import annotations
 
+import os
+import pickle
 import sys
 import traceback
 from concurrent.futures import ThreadPoolExecutor
 from time import perf_counter
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
 from .. import checking as chk
 
 
+def _job_cache_path(cache_dir: str, job_index: int) -> str:
+    return os.path.join(cache_dir, f"job_{job_index:04d}.pkl")
+
+
+def _load_cached_job(cache_dir: str, job_index: int, job_seed: int) -> Optional[Dict]:
+    """A cached result is reused only when it completed successfully under
+    the SAME derived seed — a resume with a different base seed recomputes."""
+    path = _job_cache_path(cache_dir, job_index)
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path, "rb") as fld:
+            result = pickle.load(fld)
+    except Exception:  # noqa: BLE001 — a torn write means recompute
+        return None
+    if (
+        isinstance(result, dict)
+        and str(result.get("status", "")).startswith("ok")
+        and result.get("seed") == job_seed
+    ):
+        result["cached"] = True
+        return result
+    return None
+
+
+def _save_cached_job(cache_dir: str, job_index: int, result: Dict) -> None:
+    """Atomic write (tmp + rename): a crash mid-dump never leaves a torn
+    cache entry for the next resume to trip over."""
+    path = _job_cache_path(cache_dir, job_index)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fld:
+        pickle.dump(result, fld)
+    os.replace(tmp, path)
+
+
 def _job_wrapper(
-    job_index: int, config: Dict, seed: int, job_function: Callable[[int, Dict], Dict]
+    job_index: int,
+    config: Dict,
+    seed: int,
+    job_function: Callable[[int, Dict], Dict],
+    cache_dir: Optional[str] = None,
 ) -> Dict:
     """Runs one job with per-job seeding and exception capture into 'status'
-    (cf. reference _job_function_wrapper, job_executor.py:39-93)."""
+    (cf. reference _job_function_wrapper, job_executor.py:39-93).  With
+    ``cache_dir``, completed jobs are persisted and reused on re-run."""
     job_seed = seed + 7 * (job_index + 1)
+    if cache_dir is not None:
+        cached = _load_cached_job(cache_dir, job_index, job_seed)
+        if cached is not None:
+            return cached
     try:
         np.random.seed(job_seed)
         tic = perf_counter()
@@ -44,6 +90,8 @@ def _job_wrapper(
                 "seed": job_seed,
             }
         )
+        if cache_dir is not None:
+            _save_cached_job(cache_dir, job_index, result)
     except Exception:  # noqa: BLE001 — captured into the result status
         print(f"exception in job={job_index}\n", flush=True)
         result = {
@@ -62,6 +110,7 @@ def run_jobs(
     *,
     tolerate_failure: bool = False,
     num_jobs: int = 1,
+    cache_dir: Optional[str] = None,
 ) -> List[Dict]:
     """Runs one simulation per config; returns the list of valid results.
 
@@ -73,20 +122,29 @@ def run_jobs(
             (at least one job must succeed).
         num_jobs: concurrent jobs; 1 = serial (default — device work is
             serialized on the accelerator anyway), >1 or -1 = thread pool.
+        cache_dir: when given, each successfully completed job's result is
+            persisted to ``cache_dir/job_XXXX.pkl`` (atomic write) and a
+            re-run with the same base seed reuses it instead of recomputing
+            — crash-resume for long multi-start fleets (failed jobs are
+            never cached, so a resume retries them).  The reference
+            executor has no such facility (job_executor.py:96-161).
     """
     assert chk.is_list(configs, len(configs) > 0) and chk.is_dict(configs[0])
     assert callable(job_function)
     assert chk.is_int(num_jobs, num_jobs == -1 or num_jobs >= 1)
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
 
     if num_jobs == 1:
         results = [
-            _job_wrapper(i, c, seed, job_function) for i, c in enumerate(configs)
+            _job_wrapper(i, c, seed, job_function, cache_dir)
+            for i, c in enumerate(configs)
         ]
     else:
         workers = None if num_jobs == -1 else num_jobs
         with ThreadPoolExecutor(max_workers=workers) as pool:
             futures = [
-                pool.submit(_job_wrapper, i, c, seed, job_function)
+                pool.submit(_job_wrapper, i, c, seed, job_function, cache_dir)
                 for i, c in enumerate(configs)
             ]
             results = [f.result() for f in futures]

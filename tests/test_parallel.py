@@ -97,6 +97,48 @@ class TestExecutor:
         with pytest.raises(RuntimeError):
             run_jobs([{}], seed=0, job_function=lambda i, c: 1 / 0)
 
+    def test_run_jobs_cache_resume(self, tmp_path):
+        """cache_dir: completed jobs persist and are reused on re-run;
+        failed jobs are retried; a different base seed recomputes."""
+        cache = str(tmp_path / "jobs")
+        calls = {"n": 0}
+        fail_once = {1: True}
+
+        def job(idx, config):
+            calls["n"] += 1
+            if fail_once.pop(idx, False):
+                raise RuntimeError("transient")
+            return {"cost": float(np.random.rand()), "idx": idx}
+
+        # First run: job 1 fails (and must NOT be cached).
+        results = run_jobs(
+            [{}] * 3, seed=42, job_function=job, tolerate_failure=True,
+            cache_dir=cache,
+        )
+        assert len(results) == 2 and calls["n"] == 3
+        first_costs = {r["idx"]: r["cost"] for r in results}
+
+        # Resume: jobs 0/2 load from cache, job 1 is retried and succeeds.
+        results = run_jobs(
+            [{}] * 3, seed=42, job_function=job, tolerate_failure=True,
+            cache_dir=cache,
+        )
+        assert calls["n"] == 4  # only the failed job recomputed
+        assert len(results) == 3
+        by_idx = {r["idx"]: r for r in results}
+        for i in (0, 2):
+            assert by_idx[i]["cached"] is True
+            assert by_idx[i]["cost"] == first_costs[i]
+        assert "cached" not in by_idx[1]
+
+        # A different base seed invalidates every cache entry.
+        results = run_jobs(
+            [{}] * 3, seed=43, job_function=job, tolerate_failure=True,
+            cache_dir=cache,
+        )
+        assert calls["n"] == 7
+        assert all("cached" not in r for r in results)
+
 
 class TestCheckpoint:
     def test_roundtrip_with_mps(self, tmp_path):
