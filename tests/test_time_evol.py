@@ -184,7 +184,7 @@ class TestHorizonResume:
     (The reference driver persists nothing until the very end,
     time_evol_best_init.py:385.)"""
 
-    def _crashed_run(self, tmp_path, monkeypatch):
+    def _crashed_run(self, tmp_path, monkeypatch, objective="sur_max"):
         """Runs a 2-horizon simulation that crashes entering horizon 2;
         returns (opts, output_dir with a 1-horizon checkpoint)."""
         import glob
@@ -192,7 +192,7 @@ class TestHorizonResume:
 
         import aqc_research_tpu.models.sp_lhs.time_evol as te
 
-        opts = _mini_opts(tmp_path, "sur_max", num_qubits=3, num_horizons=2)
+        opts = _mini_opts(tmp_path, objective, num_qubits=3, num_horizons=2)
         opts.maxiter = 4
         real = te._time_evolution
         calls = {"n": 0}
@@ -213,13 +213,14 @@ class TestHorizonResume:
         assert os.path.isfile(os.path.join(dirs[0], te._CHECKPOINT_FILE))
         return opts, dirs[0]
 
-    def test_resume_completes_schedule(self, tmp_path, monkeypatch):
+    @pytest.mark.parametrize("objective", ["sur_max", "sur_fast_mps_trotter"])
+    def test_resume_completes_schedule(self, tmp_path, monkeypatch, objective):
         import os
         import pickle
 
         import aqc_research_tpu.models.sp_lhs.time_evol as te
 
-        opts, out_dir = self._crashed_run(tmp_path, monkeypatch)
+        opts, out_dir = self._crashed_run(tmp_path, monkeypatch, objective)
 
         real = te._time_evolution
         calls = {"n": 0}
