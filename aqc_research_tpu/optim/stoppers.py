@@ -70,7 +70,9 @@ class NotImproveStopper:
             self._min_iteration = iter_no
         elif iter_no - self._min_iteration > self._num_iters:
             if self._raise_ex:
-                raise StagnantOptimizationWarning("Early termination, no improvement")
+                raise StagnantOptimizationWarning(
+                    f"objective stagnant for {self._num_iters} iterations — stopping"
+                )
             return True
         return False
 
