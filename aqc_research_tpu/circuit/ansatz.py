@@ -65,7 +65,7 @@ class Ansatz:
         if self.entangler not in ENTANGLERS:
             raise ValueError(f"entangler must be one of {ENTANGLERS}")
         if not chk.is_int(self.power, self.power >= 1):
-            raise ValueError("expects circuit power (V^p) to be integer and p >= 1")
+            raise ValueError("the circuit power p of V^p must be an integer >= 1")
         self.check_block_layout(self.num_qubits, self.blocks)
 
     # --- constructors ------------------------------------------------------
@@ -121,11 +121,11 @@ class Ansatz:
 
     @property
     def num_layers(self) -> int:
-        raise NotImplementedError("there are no layers in generic ansatz")
+        raise NotImplementedError("a generic (non-Trotterized) ansatz has no layer grid")
 
     @property
     def bpl(self) -> int:
-        raise NotImplementedError("there are no layers in generic ansatz")
+        raise NotImplementedError("a generic (non-Trotterized) ansatz has no layer grid")
 
     # --- theta views -------------------------------------------------------
 
@@ -183,7 +183,7 @@ class Ansatz:
         """Raises ValueError unless a valid generic block layout was given
         (reference parametric_circuit.py:234-253)."""
         if not (chk.is_int(num_qubits) and num_qubits >= 2 and chk.block_structure(num_qubits, np.asarray(blocks, int))):
-            raise ValueError("not a valid structure of unit-blocks")
+            raise ValueError("malformed unit-block structure (want a (2, depth) int array of qubit pairs)")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -246,7 +246,7 @@ class TrotterAnsatz(Ansatz):
         """Layer-aligned insertion (reference parametric_circuit.py:349-389)."""
         assert chk.is_int(pos, 0 <= pos <= self.num_blocks)
         if pos % (3 * (self.num_qubits - 1)) != 0:
-            raise ValueError("position of blocks insertion must be aligned at layer boundary")
+            raise ValueError("blocks can only be inserted at a layer boundary")
         return super().insert_unit_blocks(pos, extra_blocks, thetas)
 
     def check_block_layout(self, num_qubits: int, blocks: np.ndarray) -> None:
@@ -268,11 +268,11 @@ class TrotterAnsatz(Ansatz):
             and np.all(bls[0, :, 0] == bls[1, :, 0] + 1)
         )
         if not ok:
-            raise ValueError("not a valid Trotterized block layout")
+            raise ValueError("the block sequence does not form Trotter triplets")
         if self.second_order:
             for i in range(num_qubits // 2):
                 if not (bls[0, i, 1] == 2 * i and bls[1, i, 1] == 2 * i + 1):
-                    raise ValueError("unexpected layout of the leading half-layer")
+                    raise ValueError("the leading half-layer does not match the even-pair chessboard")
 
 
 # -----------------------------------------------------------------------------

@@ -52,7 +52,7 @@ def create_ansatz_structure(
     on the same qubit pair.
     """
     if num_qubits < 2:
-        raise ValueError("Number of qubits must be greater or equal to 2")
+        raise ValueError("need at least 2 qubits to place unit blocks")
 
     if depth <= 0:
         depth = lower_limit(num_qubits)
@@ -77,8 +77,8 @@ def create_ansatz_structure(
         blocks = _cyclic_line(num_qubits, depth)
     else:
         raise ValueError(
-            f"Unknown type of circuit layout, "
-            f"expects one of {circuit_layout_list()}, got {layout}"
+            f"circuit layout {layout!r} is not supported "
+            f"(choose from {circuit_layout_list()})"
         )
 
     if block_repeat > 1:
@@ -86,8 +86,8 @@ def create_ansatz_structure(
 
     if logger:
         logger.info(
-            f"ansatz: connectivity='{connectivity}', layout='{layout}', "
-            f"depth={depth}, unit-blocks repeat {block_repeat} times"
+            f"structure: layout={layout!r} x{block_repeat} repeats, "
+            f"connectivity={connectivity!r}, {depth} unit blocks"
         )
     return blocks
 
@@ -105,15 +105,15 @@ def make_trotter_like_circuit(
     Cf. reference circuit_structures.py:133-178.
     """
     if num_qubits < 2:
-        raise ValueError("number of qubits must be greater or equal to 2")
+        raise ValueError("a Trotter-like structure needs at least 2 qubits")
     if connectivity not in circuit_connectivity_list():
         raise ValueError("expects 'full' or 'line' connectivity")
     if num_layers < 0:
-        raise ValueError("expects non-negative number of layers")
+        raise ValueError("the layer count cannot be negative")
     if num_layers == 0:
         return np.zeros((2, 0), dtype=int)
     if verbose:
-        _logger.info("Makes Trotter-like block structure with %d layers", num_layers)
+        _logger.info("building a %d-layer Trotter-like block structure", num_layers)
 
     blocks = _spin(num_qubits, num_layers * (num_qubits - 1))
     blocks = np.repeat(blocks, 3, axis=1)

@@ -61,7 +61,7 @@ def _single_simulation(job_index: int, config: dict) -> dict:
             fobj_profile.append(fobj)
             if logger:
                 logger.info(
-                    f"iter: {nit:4d}, fobj: {fobj:0.4f}, |dtheta|: {thetas_change:0.5f}"
+                    f"sweep {nit:4d}: fobj {fobj:0.4f}, step size {thetas_change:0.5f}"
                 )
 
             stop_timeout.check()

@@ -283,6 +283,6 @@ def skvecs_generator(
     if skvecs_type == "eigen":
         return EigenSketchingVectors(num_skvecs, target_mat)
     raise ValueError(
-        f"unknown type of sketching vectors generator, expects one of: "
+        f"no such sketching-vector generator; available: "
         f"['full', 'rand', 'alt', 'eigen'], got {skvecs_type}"
     )

@@ -49,7 +49,7 @@ def _approximation_accuracy(
     """HS-cost, fidelity, top singular values of (V - U), Frobenius
     (cf. reference _approximation_accuracy, sk_utils.py:38-80)."""
     tic = time.perf_counter()
-    logi(logger, "computing approximation accuracy ...")
+    logi(logger, "scoring the approximation (HS cost / fidelity / spectrum) ...")
 
     dim = target.shape[0]
     hsp = np.vdot(circ_matrix, target)  # Tr(V† U)
@@ -60,10 +60,10 @@ def _approximation_accuracy(
     max_sing = float(np.amax(diag))
     frob = (np.linalg.norm(diff, "fro") ** 2) / (2 * dim)
 
-    logi(logger, f"done in {time.perf_counter() - tic:0.4f} seconds")
-    logi(logger, f"HS-cost = 1 - |<V,U>|/dim: {hs_cost:0.8f}")
-    logi(logger, f"Fidelity: {fidelity_:0.8f}")
-    logi(logger, f"Max. singular value of (V - U): {max_sing:0.8f}")
+    logi(logger, f"accuracy metrics took {time.perf_counter() - tic:0.4f} s")
+    logi(logger, f"HS cost 1 - |<V,U>|/dim = {hs_cost:0.8f}")
+    logi(logger, f"fidelity = {fidelity_:0.8f}")
+    logi(logger, f"sigma_max(V - U) = {max_sing:0.8f}")
     logi(logger, f"Frobenius: (|V - U|^2_F)/(2*dim): {frob:0.8f}")
 
     return {
@@ -178,7 +178,7 @@ def create_ansatz(
     sk_utils.py:220-284)."""
     assert chk.is_int(num_qubits, num_qubits >= 2)
     if not num_layers >= 1:
-        raise ValueError("expects: num_layers >= 1")
+        raise ValueError("the ansatz needs at least one layer")
     bpl = num_blocks_per_layer(num_qubits, circuit_layout)
     blocks = create_ansatz_structure(
         num_qubits=num_qubits,
@@ -192,8 +192,8 @@ def create_ansatz(
     if logger:
         logi(
             logger,
-            f"ansatz layout: {circuit_layout}, depth = {circ.num_blocks}, "
-            f"number of parameters: {circ.num_thetas}",
+            f"built a {circuit_layout!r} ansatz: {circ.num_blocks} blocks, "
+            f"{circ.num_thetas} parameters",
         )
     return circ
 
@@ -210,10 +210,10 @@ def create_target_matrix(
     (cf. reference create_target_matrix, sk_utils.py:286-353)."""
     assert chk.is_int(num_qubits, num_qubits >= 2)
     if callable(target_name_or_func):
-        logi(logger, "target: user-supplied generator")
+        logi(logger, "target: caller-provided matrix function")
         target_mat = target_name_or_func(num_qubits)
     elif target_name_or_func == "parametric":
-        logi(logger, f"target: {target_name_or_func}")
+        logi(logger, f"target family: {target_name_or_func}")
         circ = create_ansatz(
             num_qubits=num_qubits,
             num_layers=num_layers,
@@ -223,7 +223,7 @@ def create_target_matrix(
         target_thetas = np.random.uniform(0, 2 * np.pi, circ.num_thetas)
         target_mat = to_host(ansatz_to_matrix(circ, target_thetas))
     else:
-        logi(logger, f"target: {target_name_or_func}")
+        logi(logger, f"target family: {target_name_or_func}")
         target_mat = targen.make_target_matrix(target_name_or_func, num_qubits)
 
     su_target = targen.make_su_matrix(target_mat)
@@ -242,15 +242,15 @@ def get_commandline_args(parser: ArgumentParser, logger: logging.Logger) -> Any:
     parser.add_argument("-n", "--num_qubits", default=5, type=int, metavar="",
                         help="number of qubits")
     parser.add_argument("-t", "--target", default="parametric", type=str, metavar="",
-                        help=f"target name, one of: {targ_types}")
+                        help=f"target-matrix family; choose from {targ_types}")
     parser.add_argument("-s", "--num_simuls", default=ncpus, type=int, metavar="",
-                        help="total number of simulations with different initial guesses")
+                        help="how many random restarts to run")
     parser.add_argument("-j", "--num_jobs", default=ncpus, type=int, metavar="",
-                        help="number of parallel jobs executed simultaneously")
+                        help="concurrent jobs in the multi-start fan-out")
     parser.add_argument("-o", "--timeout", default=-1, type=int, metavar="",
                         help="timeout in seconds; non-positive implies no timeout")
     parser.add_argument("-g", "--tag", default="", type=str, metavar="",
-                        help="tag that makes simulation results distinguishable")
+                        help="suffix appended to the results folder name")
     cargs = parser.parse_args()
     assert 2 <= cargs.num_qubits <= 16
     assert cargs.target in targ_types

@@ -34,10 +34,10 @@ def load_results_from_archive(filename: str) -> List[Dict]:
     cf. trotter_evol_utils.py:37-53)."""
     with open(filename, "rb") as fld:
         data = pickle.load(fld)
-    assert isinstance(data, list), "expects archive with a list of results"
+    assert isinstance(data, list), "the archive must hold a list of result dicts"
     horizons = [r["evol_time1"] for r in data]
-    print("Number of time horizons:", len(horizons))
-    pprint(f"Time horizons: {horizons}")
+    print(f"{len(horizons)} time horizon(s) in the archive")
+    pprint(f"horizon times: {horizons}")
     return data
 
 
@@ -114,7 +114,7 @@ def save_optim_results(
         target = (to_host(target.gammas), np.asarray(target.lambdas))
     with open(os.path.join(output_dir, filename), "wb") as fld:
         pickle.dump({"results": results, "target": target}, fld)
-        _logger.info("results have been written in the file: %s", fld.name)
+        _logger.info("saved optimization results to %s", fld.name)
 
 
 def get_commandline_args(parser: ArgumentParser) -> Any:
@@ -123,11 +123,11 @@ def get_commandline_args(parser: ArgumentParser) -> Any:
     parser.add_argument("-n", "--num_qubits", default=5, type=int, metavar="",
                         help="number of qubits")
     parser.add_argument("-t", "--target_only", action="store_true",
-                        help="flag: compute target states and exit")
+                        help="only precompute the target states, then exit")
     parser.add_argument("-g", "--tag", default="", type=str, metavar="",
-                        help="tag that makes simulation results distinguishable")
+                        help="suffix appended to the results folder name")
     parser.add_argument("-f", "--targets_file", default="", type=str, metavar="",
-                        help="path to a file with precomputed targets")
+                        help="load precomputed target states from this file")
     parser.add_argument("--cpu", action="store_true",
                         help="flag: force the CPU backend (f64 precision)")
     parser.add_argument("--resume", default="", type=str, metavar="",
@@ -164,7 +164,7 @@ def verify_and_print_summary(num_qubits: int, results: List[Dict]) -> None:
 
     n = len(results)
     if not all(results[i]["cost"] <= results[i + 1]["cost"] for i in range(n - 1)):
-        raise ValueError("simulation results are not sorted by 'cost'")
+        raise ValueError("result list must be sorted ascending by 'cost'")
     best = results[0]
     assert chk.float_1d(np.asarray(best["thetas"]))
     assert chk.block_structure(num_qubits, np.asarray(best["blocks"]))

@@ -327,7 +327,7 @@ class SpService:
 
     def _on_stop(self, fobj: float, thetas: np.ndarray) -> dict:
         if self._verbose:
-            _logger.warning("Early stopping of the optimization process")
+            _logger.warning("optimizer halted early by a stop condition")
         return {
             "cost": fobj,
             "num_fun_ev": self._num_fun_ev,
@@ -384,7 +384,7 @@ class SpService:
 
     def on_epoch_end(self):
         if self._verbose:
-            _logger.warning("End of optimization epoch")
+            _logger.warning("epoch boundary reached (stats marked with NaN row)")
         if self._stats:
             sts = self._stats
             sts["hs2"] = np.vstack(
@@ -417,7 +417,7 @@ class SpLHSObjectiveBase(ABC):
         if verbose:
             _logger.info("Objective: %s", self.__class__.__name__)
             if isinstance(circuit, TrotterAnsatz):
-                _logger.info("Trotterized ansatz is being used in objective")
+                _logger.info("objective runs on a Trotterized ansatz")
 
         self._params = user_parameters
         self._circuit = circuit
@@ -441,7 +441,7 @@ class SpLHSObjectiveBase(ABC):
             )
             self._num_states = num_qubits + 1
             if max_flips != 1:
-                raise ValueError("expects max_flips=1 in case of using MPS")
+                raise ValueError("the MPS state handler supports max_flips=1 only")
         else:
             if state_prep_func is None:
                 self._state_handler = ThinStateHandler(num_qubits, max_flips, verbose)
@@ -470,7 +470,7 @@ class SpLHSObjectiveBase(ABC):
             self.objective(thetas)
             if self._verbose and self._print_grad_warning:
                 _logger.warning(
-                    "enforcing computation of the objective before the gradient"
+                    "thetas changed since the last objective call — re-evaluating it before the gradient"
                 )
                 self._print_grad_warning = False
 

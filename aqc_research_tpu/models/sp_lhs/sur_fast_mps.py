@@ -54,7 +54,7 @@ class SpSurrogateObjectiveFastMpsTrotter(obj_base.SpLHSObjectiveBase):
         self._fidelity = -1.0
         self._grad_scaler = grad_scaler
         if self.num_states != circ.num_qubits + 1:
-            raise ValueError("only a single bit flip is currently supported")
+            raise ValueError("this objective handles single-bit flip states only")
         self._hs = np.zeros(self._num_states, dtype=np.complex128)
         self._max_no = 0
 

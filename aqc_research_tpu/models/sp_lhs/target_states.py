@@ -121,7 +121,7 @@ def generate_all_mps_targets(
 ) -> List[TargetMpsState]:
     """Incremental MPS target generation: each horizon's circuit is applied to
     the PREVIOUS horizon's MPS (cf. target_states.py:135-231)."""
-    _logger.info("running the function: %s ...", generate_all_mps_targets.__name__)
+    _logger.info("%s: generating targets ...", generate_all_mps_targets.__name__)
 
     def _ini_program():
         return opts.ini_state_func[0](num_qubits)
@@ -129,8 +129,8 @@ def generate_all_mps_targets(
     trotter_steps = np.asarray(opts.trotter_steps)
     evol_times = np.asarray(opts.evol_times)
     assert evol_times.size == trotter_steps.size
-    assert np.unique(np.diff(trotter_steps)).size <= 1, "expects uniform stepping"
-    assert np.allclose(np.diff(evol_times), evol_times[0]), "expects equal intervals"
+    assert np.unique(np.diff(trotter_steps)).size <= 1, "trotter_steps must grow by a constant increment"
+    assert np.allclose(np.diff(evol_times), evol_times[0]), "evol_times must form a uniform grid"
 
     thr = opts.trunc_thr_target
     chi = int(opts.chi_max)
@@ -180,7 +180,7 @@ def generate_all_mps_targets(
         )
         fid = trotop.fidelity(targets[-1].t1_gt, targets[-1].t1)
         _logger.info(
-            "fidelity |t1_gt> vs |t1>: %0.6f, evol.time: %0.3f  |  exec.times: %s",
+            "t=%0.3f: fid(|t1>, |t1_gt>) = %0.6f  |  timings: %s",
             fid,
             evol_times[i],
             timer.rounded_metrics(3),
@@ -202,7 +202,7 @@ def get_target_mps_states(
             data = pickle.load(fld)
         if TargetMpsState.check_cached_data(opts, num_qubits, data):
             return data
-        _logger.info("cached data don't match the expectation, recomputing ...")
+        _logger.info("target cache is stale for these options — regenerating")
 
     data = generate_all_mps_targets(
         opts=opts, num_qubits=num_qubits, second_order=second_order
@@ -300,7 +300,7 @@ def generate_classic_target(
         )
     fid = trotop.fidelity(t1_gt, t1)
     _logger.info(
-        "fidelity |t1_gt> vs |t1>: %0.6f, evol.time: %0.3f  |  exec.times: %s",
+        "t=%0.3f: fid(|t1>, |t1_gt>) = %0.6f  |  timings: %s",
         fid,
         evol_time,
         timer.rounded_metrics(3),
@@ -331,7 +331,7 @@ def get_target_classic_states(
             data = pickle.load(fld)
         if TargetClassicState.check_cached_data(opts, num_qubits, data):
             return data
-        _logger.info("cached data don't match the expectation, recomputing ...")
+        _logger.info("target cache is stale for these options — regenerating")
 
     data = [
         generate_classic_target(

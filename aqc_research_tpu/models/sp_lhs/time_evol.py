@@ -142,7 +142,7 @@ def _create_objective(
             grad_scaler=grad_scaler,
         )
     else:
-        raise ValueError(f"unknown objective function: {opts.objective}")
+        raise ValueError(f"no such objective {opts.objective!r} (sur_max | sur_fast_mps_trotter)")
 
     objv.set_target(target)
     return objv
@@ -160,7 +160,7 @@ def _calc_fidelity_threshold(
         fid_thr = max(fid_t1_vs_gt, fidelity_thr)
     else:
         fid_thr = 1.03 * fid_t1_vs_gt
-    _logger.info("Fidelity threshold: %0.4f", fid_thr)
+    _logger.info("horizon fidelity bar: %0.4f", fid_thr)
     return fid_thr, fid_t1_vs_gt
 
 
@@ -266,7 +266,7 @@ def _model_function(
             "time": time.perf_counter() - tic,
         }
     )
-    _logger.info("Final objective function value: %0.6f", float(result["cost"]))
+    _logger.info("optimization finished at fobj = %0.6f", float(result["cost"]))
     return result
 
 
@@ -366,7 +366,7 @@ def _time_evolution(
             fid_thr=fidelity_thr,
             prev_solution=prev_solution,
         )
-        _logger.info("done |a1> state in %0.3f secs", time.perf_counter() - tic)
+        _logger.info("|a1> optimization took %0.3f s", time.perf_counter() - tic)
         a_state_result["second_order_trotter"] = opts.second_order_trotter
         trot_utils.verify_and_print_summary(opts.num_qubits, [a_state_result])
 
@@ -387,11 +387,11 @@ def _time_evolution(
             break
         attempt += 1
         num_layers += 1
-        _logger.info("inserting extra unit-block")
+        _logger.info("fidelity below the bar — expanding the ansatz by one layer")
 
     # Final recompute without truncation (MPS only).
     if opts.use_mps:
-        _logger.info("the final result will be recomputed without truncation ...")
+        _logger.info("re-evaluating the solution at the no-truncation threshold ...")
         a1 = trot_utils.get_solution_from_optim_result(
             opts=opts,
             result=a_state_result,
@@ -483,5 +483,5 @@ def run_simulation(opts: UserOptions) -> str:
     plot_fidelity_profiles(
         results=all_results, output_dir=output_dir, no_print_block_rep=True
     )
-    _logger.info("The output folder: %s", output_dir)
+    _logger.info("results folder: %s", output_dir)
     return output_dir

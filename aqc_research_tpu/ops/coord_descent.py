@@ -57,7 +57,7 @@ def _update_angle(w, z, theta, gate_fn, pauli, qubit, tail, dim, tol):
 def _coord_descent_sweep(circ: Ansatz, thetas: jax.Array, target: jax.Array):
     """One full sweep; returns (new_thetas, fobj)."""
     if circ.entangler == "cp":
-        raise NotImplementedError("CPhase entangler is not supported yet")
+        raise NotImplementedError("coordinate descent does not handle the cp entangler (matching the reference contract, core_op_matrix.py:819)")
     dtype = target.dtype
     dim = circ.dimension
     tail = dim

@@ -143,7 +143,7 @@ class AqcOptimizer:
         try:
             if hasattr(objv, "set_status_trackers"):
                 objv.set_status_trackers(timeout=timeout, stopper=stopper)
-            self._log(f"running {opname.upper()} optimizer ...")
+            self._log(f"starting the {opname.upper()} loop ...")
             if opname == "adam":
                 res = _adam_minimize(_fun, _jac, thetas_0, self._maxiter, self._learn_rate)
             elif opname == "lbfgs":

@@ -39,7 +39,7 @@ class TimeoutStopper:
 
     def check(self) -> None:
         if 0 < self._end_time < perf_counter():
-            raise TimeoutError("Early termination: timeout")
+            raise TimeoutError("optimization time budget exhausted")
 
 
 class NotImproveStopper:
@@ -88,8 +88,8 @@ class SmallObjectiveStopper:
     def check(self, fobj: float) -> None:
         if fobj < self._fobj_thr:
             raise StopIteration(
-                f"Early termination, objective fobj={fobj:0.5f} fell below the "
-                f"threshold={self._fobj_thr:0.5f}"
+                f"objective {fobj:0.5f} is under the stop threshold "
+                f"{self._fobj_thr:0.5f} — done"
             )
 
 
@@ -121,7 +121,7 @@ class TimeoutChecker:
         if 0 < self._end_time < perf_counter():
             if on_stop is not None:
                 self._results = on_stop(fobj, thetas)
-            raise TimeoutError("early termination: timeout")
+            raise TimeoutError("time limit reached mid-optimization")
 
     @property
     def optim_results(self) -> dict:

@@ -157,7 +157,7 @@ def run_jobs(
             print(f"Simulation {r['job_index']} failed:\n\n{r['status']}\n{'-' * 80}\n")
 
     if sum(r["status"].startswith("ok") for r in results) == 0:
-        raise RuntimeError("there is no valid simulation results")
+        raise RuntimeError("every job of the fleet failed — nothing to return")
 
     if tolerate_failure:
         results = [r for r in results if r["status"].startswith("ok")]

@@ -53,7 +53,7 @@ def make_target_state(target_name: str, num_qubits: int) -> np.ndarray:
         target /= np.linalg.norm(target)
     else:
         raise ValueError(
-            f"unsupported target type, expects one of: "
+            f"no such target-state family; available: "
             f"{available_target_state_types()}, got {target_name}"
         )
     _logger.info("target state prepared in %0.2f secs", perf_counter() - tic)
@@ -67,7 +67,7 @@ def target_state_from_circuit(circ: Ansatz, thetas: np.ndarray) -> np.ndarray:
     assert np.isclose(np.linalg.norm(target), 1, rtol=tol, atol=tol)
     overlap = abs(target[0])
     if overlap > 0.9:
-        _logger.warning("target state is too close to |0>")
+        _logger.warning("target state nearly equals |0> — the problem is degenerate")
     return target
 
 
@@ -156,14 +156,14 @@ def make_target_matrix(target_name: str, num_qubits: int) -> np.ndarray:
         )
     else:
         raise ValueError(
-            f"target type is not in the set of supported ones: "
+            f"no such target-matrix family; available: "
             f"{available_target_matrix_types()}, got {target_name}"
         )
 
     if num_qubits <= 8:
         tol = float(np.sqrt(np.finfo(np.float64).eps))
         if not np.allclose(np.vdot(target, target), dim, atol=tol, rtol=tol):
-            raise ValueError("target matrix seems not a unitary one")
+            raise ValueError("the generated target failed the unitarity check")
 
     _logger.info("Target matrix prepared in %0.2f secs", perf_counter() - tic)
     return np.asarray(target, dtype=np.complex128)
@@ -178,5 +178,5 @@ def make_su_matrix(mat: np.ndarray) -> np.ndarray:
     det = np.linalg.det(mat)
     if not np.isclose(det, 1.0, atol=tol, rtol=tol):
         mat = mat / np.power(det, 1.0 / dim)
-        _logger.info("the target U matrix has been converted into SU one")
+        _logger.info("rescaled the target U into SU (det = 1)")
     return mat

@@ -454,7 +454,7 @@ def slice2q(
     """View of Θ entries as (layers, n-1 triplets, 12 angles) for the selected
     layer range (cf. reference slice2q, trotter.py:431-475)."""
     if not isinstance(circ, TrotterAnsatz):
-        raise ValueError("expects Trotterized ansatz")
+        raise ValueError("the perfect init applies to a Trotterized ansatz only")
     assert isinstance(vec, np.ndarray) and vec.shape == (circ.num_thetas,)
     num_layers = circ.num_layers
     layer_range = (0, num_layers) if layer_range is None else layer_range

@@ -199,8 +199,8 @@ class UserExit:
         if print_banner:
             print(
                 f"\n{'*' * 100}\n"
-                f"Create an empty file '{self._indicator_file}' for "
-                f"early and graceful termination of script execution"
+                f"touch '{self._indicator_file}' to stop the run "
+                f"gracefully at the next horizon boundary"
                 f"\n{'*' * 100}\n"
             )
 
@@ -320,7 +320,7 @@ def script_entry_point(
         msg = f"\n{traceback.format_exc()}\n"
         logger.error(msg) if logger else print(msg)
     finally:
-        msg = f"Total execution time: {perf_counter() - tic:0.2f}"
+        msg = f"wall-clock total: {perf_counter() - tic:0.2f}"
         logger.info(msg) if logger else print(msg)
 
 
@@ -344,7 +344,7 @@ def prepare_output_folder(
 
 def copy_file_to_folder(directory: str, filename: str) -> None:
     if not os.path.isdir(directory):
-        raise IOError("destination directory does not exist")
+        raise IOError("cannot copy: the target directory is missing")
     if not os.path.isfile(filename):
         raise IOError("source file does not exist")
     shutil.copy(filename, os.path.join(directory, os.path.basename(filename)))
