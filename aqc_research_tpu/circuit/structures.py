@@ -60,11 +60,12 @@ def create_ansatz_structure(
             logger.warning(f"choosing the maximum number of 2-qubit unit blocks: {depth}")
 
     if not 1 <= block_repeat <= 3:
-        raise ValueError("'block_repeat' argument must be equal 1, 2 or 3")
+        raise ValueError(f"block_repeat is limited to 1..3, got {block_repeat}")
 
     if connectivity not in circuit_connectivity_list():
         raise ValueError(
-            f"layout '{layout}' assumes 'line' or 'full' connectivity, got {connectivity}"
+            f"unknown connectivity {connectivity!r}; supported: "
+            f"{circuit_connectivity_list()}"
         )
 
     if layout == "spin":

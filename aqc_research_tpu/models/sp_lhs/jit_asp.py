@@ -30,9 +30,11 @@ from ...ops.gradients import grad_of_dot_product
 from ...ops.statevector import v_dagger_mul_vec
 from ...optim.lbfgs import (
     JitMinimizeResult,
+    lbfgs_chunk_programs,
     minimize_lbfgs,
     minimize_lbfgs_compact,
     minimize_lbfgs_compact_stateful,
+    run_lbfgs_chunked,
 )
 
 
@@ -368,17 +370,11 @@ def optimize_horizon_surrogate_jit(
     )
 
 
-@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
-def _optimize_horizon_mps(
-    circ: Ansatz,
-    x0,
-    tgt,  # MPS target (pytree)
-    base_bits: tuple,
-    trunc_thr: float,
-    fobj_thr,
-    maxiter: int,
-    no_improve_iters,
-) -> JitHorizonResult:
+def _mps_value_fns(circ: Ansatz, base_bits: tuple, trunc_thr: float):
+    """The MPS fidelity objective as pure functions of ``(thetas, target)``:
+    returns ``(value, value_and_grad)`` shared by the one-program horizon
+    runner and the chunked time-limited runner (the target is an explicit
+    argument — never a closure — per the complex-closure rule, CLAUDE.md)."""
     from ...ops.mps import (
         mps_basis_state,
         mps_dot,
@@ -390,11 +386,9 @@ def _optimize_horizon_mps(
     )
     from ...ops.mps_gradient import fast_dot_gradient, fast_dot_gradient_with_state
 
-    chi = tgt.chi
-    lvec = mps_basis_state(base_bits, chi, tgt.gammas.dtype)
     use_cache = v_dagger_layer_cache_eligible(circ)
 
-    def value(th):
+    def value(th, tgt):
         if use_cache:
             # FORWARD objective: |<V lvec | t>|^2 == |<lvec | V† t>|^2, but
             # the forward sweep grows from a PRODUCT state — with χ-growth
@@ -404,18 +398,19 @@ def _optimize_horizon_mps(
             # with the gradient path's objective (which reads the co-sweep's
             # final w).
             w = v_mul_mps_growing(
-                circ, th, base_bits, chi, trunc_thr=trunc_thr,
+                circ, th, base_bits, tgt.chi, trunc_thr=trunc_thr,
                 dtype=tgt.gammas.dtype,
             )
             hs = mps_dot(w, tgt)
-            return (1.0 - jnp.abs(hs) ** 2).real.astype(x0.dtype)
+            return (1.0 - jnp.abs(hs) ** 2).real.astype(th.dtype)
         vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
         amps = mps_flip_amplitudes(vh, base_bits)
-        return (1.0 - jnp.abs(amps[0]) ** 2).real.astype(x0.dtype)
+        return (1.0 - jnp.abs(amps[0]) ** 2).real.astype(th.dtype)
 
-    def value_and_grad(th):
+    def value_and_grad(th, tgt):
         # Analytic MPS co-sweep — autodiff through truncated SVDs is
         # ill-conditioned; the co-sweep is exact (parity-tested vs dense).
+        lvec = mps_basis_state(base_bits, tgt.chi, tgt.gammas.dtype)
         if use_cache:
             # The V† sweep's per-layer cache makes the co-sweep z-free; its
             # final w (= V lvec) provides the forward-consistent objective.
@@ -428,24 +423,39 @@ def _optimize_horizon_mps(
             # <V lvec | t> = lvec† V† t — the SAME complex number as the
             # dagger-path amplitude <lvec|V† t>, read forward-consistently.
             hs0 = mps_dot(w_fin, tgt)
-            fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(x0.dtype)
-            grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(x0.dtype)
+            fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(th.dtype)
+            grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(th.dtype)
             return fobj, grad
         vh = v_dagger_mul_mps(circ, th, tgt, trunc_thr=trunc_thr)
         amps = mps_flip_amplitudes(vh, base_bits)
         hs0 = amps[0]
-        fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(x0.dtype)
+        fobj = (1.0 - jnp.abs(hs0) ** 2).real.astype(th.dtype)
         grad = fast_dot_gradient(circ, th, lvec, vh, trunc_thr=trunc_thr)
-        grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(x0.dtype)
+        grad = jnp.real(-2.0 * jnp.conj(hs0) * grad).astype(th.dtype)
         return fobj, grad
 
+    return value, value_and_grad
+
+
+@_partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
+def _optimize_horizon_mps(
+    circ: Ansatz,
+    x0,
+    tgt,  # MPS target (pytree)
+    base_bits: tuple,
+    trunc_thr: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+) -> JitHorizonResult:
+    value, value_and_grad = _mps_value_fns(circ, base_bits, trunc_thr)
     res = minimize_lbfgs_compact(
-        value,
+        lambda th: value(th, tgt),
         x0,
         maxiter=maxiter,
         fobj_thr=fobj_thr,
         no_improve_iters=no_improve_iters,
-        value_and_grad_fn=value_and_grad,
+        value_and_grad_fn=lambda th: value_and_grad(th, tgt),
     )
     fid = 1.0 - res.fobj
     return JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged)
@@ -574,4 +584,161 @@ def optimize_horizon_jit(
         int(maxiter),
         None if no_improve_iters is None else int(no_improve_iters),
         solver,
+    )
+
+
+# -----------------------------------------------------------------------------
+# Time-limited on-device optimization (chunked dispatch).
+#
+# The one-program runners above cannot honor the reference's ``time_limit``
+# stopper (optimizer.py:36-62) — XLA has no wall clock.  These variants run
+# the SAME jitted loop in chunks of K iterations per dispatch and let the
+# host check the clock between chunks: ~single-program throughput (one
+# two-scalar fetch per chunk) with the full stopper contract.  The chunk
+# programs are cached per static configuration (lru_cache), so a horizon
+# schedule reuses two compiled programs for every horizon and every chunk.
+# -----------------------------------------------------------------------------
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _surrogate_chunk_cache(
+    circ: Ansatz, state_idx_t: tuple, gamma: float, fid_thr, maxiter: int,
+    no_improve_iters,
+):
+    value, vgrad = make_surrogate_stateful(circ, state_idx_t, gamma)
+    stop_fn = None
+    if fid_thr is not None:
+        stop_fn = lambda st: st.fidelity > fid_thr  # noqa: E731
+    return lbfgs_chunk_programs(
+        value,
+        vgrad,
+        maxiter=maxiter,
+        no_improve_iters=no_improve_iters,
+        stop_fn=stop_fn,
+    )
+
+
+@_lru_cache(maxsize=None)
+def _mps_chunk_cache(
+    circ: Ansatz, base_bits: tuple, trunc_thr: float, fobj_thr, maxiter: int,
+    no_improve_iters,
+):
+    value, vgrad = _mps_value_fns(circ, base_bits, trunc_thr)
+    return lbfgs_chunk_programs(
+        lambda x, st, tgt: (value(x, tgt), st),
+        lambda x, st, tgt: vgrad(x, tgt) + (st,),
+        maxiter=maxiter,
+        fobj_thr=fobj_thr,
+        no_improve_iters=no_improve_iters,
+    )
+
+
+@_lru_cache(maxsize=None)
+def _fidelity_readout(circ: Ansatz, idx0: int):
+    @jax.jit
+    def fid(thetas, target):
+        vh = v_dagger_mul_vec(circ, thetas, target)
+        return jnp.abs(vh[idx0]) ** 2
+
+    return fid
+
+
+def optimize_horizon_surrogate_timed(
+    circ: Ansatz,
+    thetas0,
+    target,
+    *,
+    state_idx: Sequence[int],
+    weight0: float = 1.0,
+    gamma: float = 0.1,
+    fidelity_thr: Optional[float] = None,
+    maxiter: int = 100,
+    no_improve_iters: Optional[int] = None,
+    time_limit: Optional[float] = None,
+    chunk_iters: int = 25,
+):
+    """:func:`optimize_horizon_surrogate_jit` with the wall clock enforced
+    between dispatch chunks.  Returns ``(JitSurrogateResult, timed_out)``."""
+    from ...utils import as_device
+
+    idx_t = tuple(int(i) for i in np.asarray(state_idx))
+    x0 = jnp.asarray(thetas0)
+    st0 = SurrogateState(
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(weight0, x0.dtype),
+        jnp.asarray(0.0, x0.dtype),
+        jnp.asarray(jnp.inf, x0.dtype),
+    )
+    programs = _surrogate_chunk_cache(
+        circ,
+        idx_t,
+        float(gamma),
+        None if fidelity_thr is None else float(fidelity_thr),
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
+    )
+    tgt = as_device(target)
+    res, st, timed_out = run_lbfgs_chunked(
+        programs,
+        x0,
+        st0,
+        (tgt,),
+        maxiter=int(maxiter),
+        time_limit=time_limit,
+        chunk_iters=int(chunk_iters),
+    )
+    fid = _fidelity_readout(circ, idx_t[0])(res.thetas, tgt)
+    return (
+        JitSurrogateResult(
+            res.thetas, res.fobj, fid, res.num_iters, res.converged,
+            st.weight, st.max_no,
+        ),
+        timed_out,
+    )
+
+
+def optimize_horizon_mps_timed(
+    circ: Ansatz,
+    thetas0,
+    target,  # MPS
+    *,
+    base_bits: Sequence[int],
+    trunc_thr: float = 1e-6,
+    fidelity_thr: Optional[float] = None,
+    maxiter: int = 100,
+    no_improve_iters: Optional[int] = None,
+    time_limit: Optional[float] = None,
+    chunk_iters: int = 25,
+):
+    """:func:`optimize_horizon_mps_jit` with the wall clock enforced between
+    dispatch chunks.  Returns ``(JitHorizonResult, timed_out)``."""
+    if len(base_bits) != circ.num_qubits:
+        raise ValueError(
+            f"base_bits must give one 0/1 occupation per site: got "
+            f"{len(base_bits)} for {circ.num_qubits} qubits"
+        )
+    fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
+    programs = _mps_chunk_cache(
+        circ,
+        tuple(int(b) for b in base_bits),
+        float(trunc_thr),
+        fobj_thr,
+        int(maxiter),
+        None if no_improve_iters is None else int(no_improve_iters),
+    )
+    res, _, timed_out = run_lbfgs_chunked(
+        programs,
+        jnp.asarray(thetas0),
+        (),
+        (target,),
+        maxiter=int(maxiter),
+        time_limit=time_limit,
+        chunk_iters=int(chunk_iters),
+    )
+    fid = 1.0 - res.fobj
+    return (
+        JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged),
+        timed_out,
     )

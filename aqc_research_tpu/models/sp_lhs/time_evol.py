@@ -239,7 +239,7 @@ def _model_function(
             delta=opts.delta,
             layer_range=layer_range,
         )
-    if getattr(opts, "use_jit_lbfgs", False):
+    if opts.resolve_use_jit_lbfgs():
         result = _optimize_jit(
             opts=opts, circ=circ, thetas_0=thetas_0, target=target,
             fid_thr=fid_thr,
@@ -288,6 +288,13 @@ def _optimize_jit(
 
     rdtype = np.float32 if np.dtype(complex_dtype()) == np.complex64 else np.float64
     thetas_0 = np.asarray(thetas_0, dtype=rdtype)
+    # time_limit > 0 routes through the CHUNKED runners (K iterations per
+    # dispatch, host clock checked between chunks) — the on-device analogue
+    # of the host path's TimeoutChecker; <= 0 keeps the one-program runners.
+    time_limit = float(getattr(opts, "time_limit", -1) or -1)
+    chunk_iters = int(getattr(opts, "jit_chunk_iters", 25))
+    timed = time_limit > 0
+    timed_out = False
     if opts.use_mps:
         prep = opts.ini_state_func[0](circ.num_qubits)
         base = 0
@@ -295,28 +302,53 @@ def _optimize_jit(
             assert gate.name == "x", "jit MPS path expects an X-layer prep"
             base ^= 1 << gate.qubits[0]
         base_bits = tuple((base >> k) & 1 for k in range(circ.num_qubits))
-        res = jit_asp.optimize_horizon_mps_jit(
-            circ,
-            thetas_0,
-            target,
-            base_bits=base_bits,
-            trunc_thr=float(opts.trunc_thr),
-            fidelity_thr=fid_thr,
-            maxiter=int(opts.maxiter),
-        )
+        if timed:
+            res, timed_out = jit_asp.optimize_horizon_mps_timed(
+                circ,
+                thetas_0,
+                target,
+                base_bits=base_bits,
+                trunc_thr=float(opts.trunc_thr),
+                fidelity_thr=fid_thr,
+                maxiter=int(opts.maxiter),
+                time_limit=time_limit,
+                chunk_iters=chunk_iters,
+            )
+        else:
+            res = jit_asp.optimize_horizon_mps_jit(
+                circ,
+                thetas_0,
+                target,
+                base_bits=base_bits,
+                trunc_thr=float(opts.trunc_thr),
+                fidelity_thr=fid_thr,
+                maxiter=int(opts.maxiter),
+            )
         weight = 0.0
     else:
         idx = jit_asp.flip_state_indices(
             circ.num_qubits, opts.ini_state_func[0](circ.num_qubits)
         )
-        res = jit_asp.optimize_horizon_surrogate_jit(
-            circ,
-            thetas_0,
-            target,
-            state_idx=idx,
-            fidelity_thr=fid_thr,
-            maxiter=int(opts.maxiter),
-        )
+        if timed:
+            res, timed_out = jit_asp.optimize_horizon_surrogate_timed(
+                circ,
+                thetas_0,
+                target,
+                state_idx=idx,
+                fidelity_thr=fid_thr,
+                maxiter=int(opts.maxiter),
+                time_limit=time_limit,
+                chunk_iters=chunk_iters,
+            )
+        else:
+            res = jit_asp.optimize_horizon_surrogate_jit(
+                circ,
+                thetas_0,
+                target,
+                state_idx=idx,
+                fidelity_thr=fid_thr,
+                maxiter=int(opts.maxiter),
+            )
         weight = float(np.asarray(res.weight))
     num_iters = int(np.asarray(res.num_iters))
     return {
@@ -329,7 +361,7 @@ def _optimize_jit(
         "blocks": circ.blocks.copy(),
         "entangler": circ.entangler,
         "stats": {"weight": weight, "use_jit_lbfgs": True},
-        "is_timeout": False,
+        "is_timeout": bool(timed_out),
         "fidelity": float(np.asarray(res.fidelity)),
     }
 
@@ -418,6 +450,8 @@ def _time_evolution(
         "second_order_trotter": bool(opts.second_order_trotter),
         "ini_state_func": opts.ini_state_func[0],
         "stats": a_state_result.get("stats", None),
+        "is_timeout": bool(a_state_result.get("is_timeout", False)),
+        "num_iters": int(a_state_result.get("num_iters", -1)),
     }
     fids = pformat({k: f"{v:0.6f}" for k, v in res.items() if k.startswith("fid_")})
     _logger.info("\n%s\n%s", fids, "-" * 80)

@@ -114,8 +114,15 @@ class UserOptions:
         # surrogate objective (hysteresis + weight EMA) and the L-BFGS loop
         # run as ONE XLA program per horizon — the TPU production path.
         # The host path (SciPy protocol) remains the reference-parity path.
-        # Note: time_limit is not enforced inside the jitted loop.
-        self.use_jit_lbfgs = False
+        # None = auto: on-device on TPU, host path on CPU.  time_limit IS
+        # enforced on the jitted path via chunked dispatch (the host checks
+        # the clock every ``jit_chunk_iters`` iterations).
+        self.use_jit_lbfgs = None
+
+        # L-BFGS iterations per dispatch chunk of the on-device path; only
+        # matters when time_limit > 0 (smaller chunks check the clock more
+        # often at ~60 ms tunnel round trip per chunk).
+        self.jit_chunk_iters = 25
 
         # Warm-start each horizon from the previous one's optimized angles:
         # the first L_prev layers copy the previous solution, the appended
@@ -132,3 +139,15 @@ class UserOptions:
     def use_mps(self) -> bool:
         """MPS vs full vectors, derived from the objective name."""
         return self.objective.find("mps") >= 0
+
+    def resolve_use_jit_lbfgs(self) -> bool:
+        """The effective on-device-loop switch: ``use_jit_lbfgs`` when set
+        explicitly, else auto — True on TPU (host-driven SciPy loops are
+        dispatch-latency-bound through the remote tunnel), False on CPU
+        (the host path is the reference-parity path and CPU pays no
+        dispatch tax)."""
+        if self.use_jit_lbfgs is not None:
+            return bool(self.use_jit_lbfgs)
+        from ...config import is_tpu
+
+        return is_tpu()

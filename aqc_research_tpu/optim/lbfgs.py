@@ -203,12 +203,53 @@ def minimize_lbfgs_compact_stateful(
     Returns:
         (JitMinimizeResult, final objective state).
     """
+    init, cond, body, extract = _compact_lbfgs_machinery(
+        value_fn,
+        value_and_grad_fn,
+        maxiter=maxiter,
+        fobj_thr=fobj_thr,
+        no_improve_iters=no_improve_iters,
+        memory_size=memory_size,
+        max_backtracks=max_backtracks,
+        c1=c1,
+        stop_fn=stop_fn,
+        batch_linesearch=batch_linesearch,
+        fuse_linesearch_grad=fuse_linesearch_grad,
+    )
+    carry = init(x0, obj_state0, maxiter)
+    return extract(jax.lax.while_loop(cond, body, carry))
+
+
+def _compact_lbfgs_machinery(
+    value_fn: Callable,
+    value_and_grad_fn: Callable,
+    *,
+    maxiter: int,
+    fobj_thr: Optional[float] = None,
+    no_improve_iters: Optional[int] = None,
+    memory_size: int = 10,
+    max_backtracks: int = 20,
+    c1: float = 1e-4,
+    stop_fn: Optional[Callable] = None,
+    batch_linesearch: Optional[int] = None,
+    fuse_linesearch_grad: bool = False,
+):
+    """Builds the compact-L-BFGS loop pieces: ``(init, cond, body, extract)``.
+
+    The carry's LAST element is a traced iteration LIMIT — ``cond`` stops at
+    ``it >= limit`` — so a host-side driver can run the loop in CHUNKS of K
+    iterations per dispatch (replace the limit, re-enter the while_loop) and
+    check the wall clock between chunks.  That is how the on-device path
+    honors the reference's ``time_limit`` stopper contract
+    (``/root/reference/aqc_research/optimizer.py:36-62``) without leaving XLA:
+    one compiled chunk program, re-dispatched with a moving limit.
+    ``init(x0, obj_state0, limit) -> carry``; ``extract(carry) ->
+    (JitMinimizeResult, obj_state)``.
+    """
     m = int(memory_size)
-    n = x0.shape[0]
     vgrad = value_and_grad_fn
     fobj_thr_v = -jnp.inf if fobj_thr is None else fobj_thr
     no_imp = maxiter + 1 if no_improve_iters is None else int(no_improve_iters)
-    dtype = x0.dtype
 
     def two_loop(grad, s_hist, y_hist, rho_hist, hist_len):
         """Two-loop recursion: H . grad with the stored (s, y) pairs."""
@@ -221,7 +262,7 @@ def minimize_lbfgs_compact_stateful(
             return q, alphas.at[idx].set(alpha)
 
         q, alphas = jax.lax.fori_loop(
-            0, m, bwd, (grad, jnp.zeros((m,), dtype))
+            0, m, bwd, (grad, jnp.zeros((m,), grad.dtype))
         )
         # Initial Hessian scale gamma = s.y / y.y of the newest pair.
         newest = jnp.mod(hist_len - 1, m)
@@ -259,9 +300,10 @@ def minimize_lbfgs_compact_stateful(
             f_new, ok, ost = eval_at(new_step, ost)
             return new_step, f_new, ok, it + 1, ost
 
-        f1, ok1, ost = eval_at(jnp.asarray(1.0, dtype), ost)
+        one = jnp.asarray(1.0, x.dtype)
+        f1, ok1, ost = eval_at(one, ost)
         step, f_new, ok, _, ost = jax.lax.while_loop(
-            bt_cond, bt_body, (jnp.asarray(1.0, dtype), f1, ok1, jnp.asarray(0), ost)
+            bt_cond, bt_body, (one, f1, ok1, jnp.asarray(0), ost)
         )
         return step, f_new, ok, ost
 
@@ -269,7 +311,7 @@ def minimize_lbfgs_compact_stateful(
         """Fleet-mode Armijo: ONE batched eval of the whole step grid."""
         k = int(batch_linesearch)
         slope = jnp.dot(grad, direction)
-        steps = (2.0 ** -jnp.arange(k)).astype(dtype)
+        steps = (2.0 ** -jnp.arange(k)).astype(x.dtype)
         f_news, osts = jax.vmap(
             lambda s: value_fn(x + s * direction, ost)
         )(steps)
@@ -295,7 +337,7 @@ def minimize_lbfgs_compact_stateful(
         serialization-bound, not flops-bound (measure, don't assume)."""
         k = int(batch_linesearch)
         slope = jnp.dot(grad, direction)
-        steps = (2.0 ** -jnp.arange(k)).astype(dtype)
+        steps = (2.0 ** -jnp.arange(k)).astype(x.dtype)
         f_news, g_news, osts = jax.vmap(
             lambda s: vgrad(x + s * direction, ost)
         )(steps)
@@ -309,12 +351,12 @@ def minimize_lbfgs_compact_stateful(
         return step, f_news[idx], g_news[idx], any_ok, ost
 
     def cond(carry):
-        it, stop = carry[0], carry[1]
-        return jnp.logical_and(it < maxiter, jnp.logical_not(stop))
+        it, stop, limit = carry[0], carry[1], carry[-1]
+        return jnp.logical_and(it < limit, jnp.logical_not(stop))
 
     def body(carry):
         (it, _, x, f, grad, s_hist, y_hist, rho_hist, hist_len,
-         best_f, best_x, since_best, ost) = carry
+         best_f, best_x, since_best, ost, limit) = carry
         direction = -two_loop(grad, s_hist, y_hist, rho_hist, hist_len)
         # Fall back to steepest descent when the direction is not descent.
         descent = jnp.dot(grad, direction) < 0
@@ -356,31 +398,132 @@ def minimize_lbfgs_compact_stateful(
         if stop_fn is not None:
             stop = jnp.logical_or(stop, stop_fn(ost))
         return (it + 1, stop, x_new, f_new, g_new, s_hist, y_hist, rho_hist,
-                hist_len, best_f, best_x, since_best, ost)
+                hist_len, best_f, best_x, since_best, ost, limit)
 
-    x0 = jnp.asarray(x0)
-    f0, g0, ost0 = vgrad(x0, obj_state0)
-    stop0 = f0 < fobj_thr_v
-    if stop_fn is not None:
-        stop0 = jnp.logical_or(stop0, stop_fn(ost0))
-    carry = (
-        jnp.asarray(0),
-        stop0,
-        x0,
-        f0,
-        g0,
-        jnp.zeros((m, n), dtype),
-        jnp.zeros((m, n), dtype),
-        jnp.zeros((m,), dtype),
-        jnp.asarray(0),
-        f0,
-        x0,
-        jnp.asarray(0),
-        ost0,
+    def init(x0, obj_state0, limit):
+        x0 = jnp.asarray(x0)
+        n = x0.shape[0]
+        dtype = x0.dtype
+        f0, g0, ost0 = vgrad(x0, obj_state0)
+        stop0 = f0 < fobj_thr_v
+        if stop_fn is not None:
+            stop0 = jnp.logical_or(stop0, stop_fn(ost0))
+        return (
+            jnp.asarray(0),
+            stop0,
+            x0,
+            f0,
+            g0,
+            jnp.zeros((m, n), dtype),
+            jnp.zeros((m, n), dtype),
+            jnp.zeros((m,), dtype),
+            jnp.asarray(0),
+            f0,
+            x0,
+            jnp.asarray(0),
+            ost0,
+            jnp.asarray(limit),
+        )
+
+    def extract(carry):
+        (it, stop, x_last, _, _, _, _, _, _, best_f, best_x, _, ost, _) = carry
+        return JitMinimizeResult(best_x, best_f, it, stop, x_last), ost
+
+    return init, cond, body, extract
+
+
+def lbfgs_chunk_programs(
+    value_fn: Callable,
+    value_and_grad_fn: Callable,
+    **opts,
+):
+    """Jitted (init, chunk, extract) programs for time-limited L-BFGS.
+
+    ``value_fn(x, obj_state, *args)`` / ``value_and_grad_fn(x, obj_state,
+    *args)`` take the objective's data (e.g. the target state) as EXPLICIT
+    trailing arguments — the programs thread them through as traced inputs,
+    so no device-resident array is ever closed over (the lazily-invalid
+    complex-closure trap, CLAUDE.md).  ``opts`` are the
+    :func:`minimize_lbfgs_compact_stateful` options (maxiter, fobj_thr, ...).
+
+    Returns:
+        ``init(x0, obj_state0, *args) -> carry`` (jitted),
+        ``chunk(carry, limit, *args) -> carry`` (jitted; runs the loop until
+        ``it >= limit`` or a stop condition fires),
+        ``extract(carry) -> (JitMinimizeResult, obj_state)`` (host-side).
+
+    Cache the returned triple per static configuration (the callers in
+    ``models/sp_lhs/jit_asp.py`` use ``lru_cache``): each triple compiles to
+    exactly two XLA programs reused across every chunk and every horizon.
+    """
+
+    def _machinery(args):
+        return _compact_lbfgs_machinery(
+            lambda x, st: value_fn(x, st, *args),
+            lambda x, st: value_and_grad_fn(x, st, *args),
+            **opts,
+        )
+
+    def init_impl(x0, ost0, *args):
+        init, _, _, _ = _machinery(args)
+        return init(x0, ost0, 0)
+
+    def chunk_impl(carry, limit, *args):
+        _, cond, body, _ = _machinery(args)
+        carry = carry[:-1] + (jnp.asarray(limit),)
+        return jax.lax.while_loop(cond, body, carry)
+
+    def extract(carry):
+        _, _, _, ex = _machinery(())
+        return ex(carry)
+
+    return jax.jit(init_impl), jax.jit(chunk_impl), extract
+
+
+def run_lbfgs_chunked(
+    programs,
+    x0,
+    obj_state0,
+    args: tuple,
+    *,
+    maxiter: int,
+    time_limit: Optional[float] = None,
+    chunk_iters: int = 25,
+):
+    """Host-chunked driver over :func:`lbfgs_chunk_programs`.
+
+    Runs K = ``chunk_iters`` L-BFGS iterations per dispatch and checks the
+    wall clock between chunks — the on-device analogue of the reference's
+    host-loop ``TimeoutChecker`` (optimizer.py:36-62): near-single-program
+    throughput (one device->host sync of two scalars per chunk, ~60 ms
+    through the remote tunnel) while honoring ``time_limit``.
+
+    Returns ``(JitMinimizeResult, obj_state, timed_out)``.  ``time_limit``
+    of ``None`` or <= 0 disables the clock (pure chunked execution).
+    """
+    import time as _time
+
+    import numpy as np
+
+    init_j, chunk_j, extract = programs
+    deadline = (
+        None
+        if time_limit is None or time_limit <= 0
+        else _time.perf_counter() + float(time_limit)
     )
-    out = jax.lax.while_loop(cond, body, carry)
-    (it, stop, x_last, _, _, _, _, _, _, best_f, best_x, _, ost) = out
-    return JitMinimizeResult(best_x, best_f, it, stop, x_last), ost
+    carry = init_j(x0, obj_state0, *args)
+    it, timed_out = 0, False
+    while it < maxiter:
+        nxt = min(it + int(chunk_iters), int(maxiter))
+        carry = chunk_j(carry, nxt, *args)
+        it = int(np.asarray(carry[0]))
+        if bool(np.asarray(carry[1])):  # a stop condition fired on device
+            break
+        if deadline is not None and _time.perf_counter() >= deadline:
+            timed_out = it < maxiter
+            break
+    res, ost = extract(carry)
+    return res, ost, timed_out
 
 
 def minimize_adam(

@@ -232,3 +232,85 @@ class TestJitAsp:
             optimize_horizon_mps_multistart(
                 circ, batch, target_mps, base_bits=(1, 0), maxiter=1
             )
+
+
+class TestTimedHorizons:
+    """Chunked time-limited on-device optimization (jit_asp *_timed):
+    parity with the one-program runners plus the timeout contract."""
+
+    def test_surrogate_timed_matches_one_program(self):
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            optimize_horizon_surrogate_jit,
+            optimize_horizon_surrogate_timed,
+        )
+
+        circ, thetas0, target, idx = _setup()
+        rng = np.random.default_rng(3)
+        thetas_p = thetas0 + 0.2 * rng.standard_normal(thetas0.size)
+        kw = dict(state_idx=idx, fidelity_thr=0.999, maxiter=150)
+        ref = optimize_horizon_surrogate_jit(circ, thetas_p, target, **kw)
+        res, timed_out = optimize_horizon_surrogate_timed(
+            circ, thetas_p, target, time_limit=None, chunk_iters=11, **kw
+        )
+        assert not timed_out
+        assert int(res.num_iters) == int(ref.num_iters)
+        np.testing.assert_allclose(
+            np.asarray(res.thetas), np.asarray(ref.thetas), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            float(res.fidelity), float(ref.fidelity), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            float(res.weight), float(ref.weight), atol=1e-10
+        )
+
+    def test_surrogate_timed_honors_time_limit(self):
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            optimize_horizon_surrogate_timed,
+        )
+
+        circ, thetas0, target, idx = _setup()
+        res, timed_out = optimize_horizon_surrogate_timed(
+            circ,
+            thetas0 + 0.3,
+            target,
+            state_idx=idx,
+            maxiter=5000,
+            time_limit=1e-9,
+            chunk_iters=3,
+        )
+        assert timed_out
+        assert int(res.num_iters) == 3  # one chunk, then the clock fired
+        assert np.isfinite(float(res.fobj))
+
+    def test_mps_timed_matches_one_program(self):
+        import aqc_research_tpu.targets.trotter as trotop2
+        from aqc_research_tpu.models.sp_lhs.jit_asp import (
+            optimize_horizon_mps_jit,
+            optimize_horizon_mps_timed,
+        )
+
+        n, evol_time = 4, 0.8
+        ini = trotop2.neel_init_state(n)
+        target_mps = trotop2.Trotter(
+            num_qubits=n, evol_time=evol_time, num_steps=20, delta=1.0,
+            second_order=True,
+        ).as_mps(ini, trunc_thr=1e-12, chi_max=16)
+        circ, thetas0, _, _ = _setup(n=n, layers=2, evol_time=evol_time)
+        base_bits = tuple((1 if k % 2 == 0 else 0) for k in range(n))
+        rng = np.random.default_rng(7)
+        thetas_p = thetas0 + 0.1 * rng.standard_normal(thetas0.size)
+        kw = dict(
+            base_bits=base_bits, trunc_thr=1e-10, fidelity_thr=0.9999,
+            maxiter=150,
+        )
+        ref = optimize_horizon_mps_jit(circ, thetas_p, target_mps, **kw)
+        res, timed_out = optimize_horizon_mps_timed(
+            circ, thetas_p, target_mps, time_limit=None, chunk_iters=13, **kw
+        )
+        assert not timed_out
+        assert int(res.num_iters) == int(ref.num_iters)
+        np.testing.assert_allclose(
+            np.asarray(res.thetas), np.asarray(ref.thetas), atol=1e-10
+        )
+        assert float(res.fidelity) > 0.9999

@@ -187,3 +187,98 @@ class TestCompactLbfgs:
             )
         )(x0s)
         assert float(jnp.max(res.fobj)) < 1e-8
+
+
+class TestChunkedLbfgs:
+    """Time-limited chunked dispatch: K iterations per device program entry,
+    host clock checked between chunks (the on-device stopper contract of the
+    reference's TimeoutChecker, optimizer.py:36-62)."""
+
+    def _programs(self, **opts):
+        from aqc_research_tpu.optim.lbfgs import lbfgs_chunk_programs
+
+        return lbfgs_chunk_programs(
+            lambda x, st, shift: (_rosenbrock(x - shift), st),
+            lambda x, st, shift: jax.value_and_grad(
+                lambda y: _rosenbrock(y - shift)
+            )(x) + (st,),
+            **opts,
+        )
+
+    def test_chunked_matches_one_program(self):
+        """Same trajectory as the one-shot compact loop: chunking must not
+        change a single iterate (the loop carry round-trips exactly)."""
+        from aqc_research_tpu.optim.lbfgs import (
+            minimize_lbfgs_compact,
+            run_lbfgs_chunked,
+        )
+
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        shift = jnp.zeros(6, dtype=jnp.float64)
+        res_ref = minimize_lbfgs_compact(_rosenbrock, x0, maxiter=90)
+        res, _, timed_out = run_lbfgs_chunked(
+            self._programs(maxiter=90),
+            x0,
+            (),
+            (shift,),
+            maxiter=90,
+            time_limit=None,
+            chunk_iters=7,
+        )
+        assert not timed_out
+        assert int(res.num_iters) == int(res_ref.num_iters)
+        np.testing.assert_allclose(
+            np.asarray(res.thetas), np.asarray(res_ref.thetas), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            float(res.fobj), float(res_ref.fobj), atol=1e-14
+        )
+
+    def test_chunked_stops_on_threshold_mid_chunk(self):
+        from aqc_research_tpu.optim.lbfgs import run_lbfgs_chunked
+
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        res, _, timed_out = run_lbfgs_chunked(
+            self._programs(maxiter=400, fobj_thr=1e-3),
+            x0,
+            (),
+            (jnp.zeros(6, dtype=jnp.float64),),
+            maxiter=400,
+            chunk_iters=50,
+        )
+        assert not timed_out
+        assert bool(res.converged) and float(res.fobj) < 1e-3
+        assert int(res.num_iters) < 400
+
+    def test_time_limit_fires_between_chunks(self):
+        from aqc_research_tpu.optim.lbfgs import run_lbfgs_chunked
+
+        x0 = jnp.zeros(6, dtype=jnp.float64)
+        res, _, timed_out = run_lbfgs_chunked(
+            self._programs(maxiter=4000),
+            x0,
+            (),
+            (jnp.zeros(6, dtype=jnp.float64),),
+            maxiter=4000,
+            time_limit=1e-9,  # already expired after the first chunk
+            chunk_iters=2,
+        )
+        assert timed_out
+        assert int(res.num_iters) == 2  # exactly one chunk ran
+        assert np.isfinite(float(res.fobj))
+
+    def test_chunk_programs_are_reused_across_targets(self):
+        """The same compiled programs serve different objective data — the
+        target is a traced argument, not a closure (no retrace per call)."""
+        from aqc_research_tpu.optim.lbfgs import run_lbfgs_chunked
+
+        programs = self._programs(maxiter=60)
+        x0 = jnp.zeros(4, dtype=jnp.float64)
+        for s in (0.0, 0.5):
+            shift = jnp.full(4, s, dtype=jnp.float64)
+            res, _, _ = run_lbfgs_chunked(
+                programs, x0, (), (shift,), maxiter=60, chunk_iters=15
+            )
+            np.testing.assert_allclose(
+                np.asarray(res.thetas), 1.0 + s, atol=1e-3
+            )

@@ -117,6 +117,45 @@ class TestRunSimulation:
             assert res["fid_a1_vs_t1"] > 0.9
             assert res["stats"]["use_jit_lbfgs"]
 
+    def test_jit_lbfgs_time_limit(self, tmp_path):
+        """The on-device path honors time_limit (chunked dispatch): with an
+        already-expired clock every horizon stops after ONE chunk and the
+        result is flagged is_timeout — the jitted twin of the host path's
+        TimeoutChecker contract."""
+        opts = _mini_opts(
+            tmp_path, "sur_max", num_qubits=3, num_horizons=1
+        )
+        opts.use_jit_lbfgs = True
+        opts.maxiter = 500
+        opts.time_limit = 1e-9
+        opts.jit_chunk_iters = 2
+        opts.fidelity_thr = 0.9999999  # unreachable -> cannot stop early
+        output_dir = run_simulation(opts)
+        import os
+        import pickle
+
+        with open(os.path.join(output_dir, "all_results.pkl"), "rb") as fld:
+            results = pickle.load(fld)
+        assert results[0]["is_timeout"]
+        assert results[0]["num_iters"] == 2  # one chunk, then the clock
+
+    def test_use_jit_lbfgs_auto_resolution(self, monkeypatch):
+        """use_jit_lbfgs=None resolves to the backend: on-device on TPU,
+        host path on CPU; an explicit setting always wins."""
+        import aqc_research_tpu.config as cfg
+
+        opts = UserOptions()
+        assert opts.use_jit_lbfgs is None
+        monkeypatch.setattr(cfg, "is_tpu", lambda: True)
+        assert opts.resolve_use_jit_lbfgs() is True
+        monkeypatch.setattr(cfg, "is_tpu", lambda: False)
+        assert opts.resolve_use_jit_lbfgs() is False
+        opts.use_jit_lbfgs = False
+        monkeypatch.setattr(cfg, "is_tpu", lambda: True)
+        assert opts.resolve_use_jit_lbfgs() is False
+        opts.use_jit_lbfgs = True
+        assert opts.resolve_use_jit_lbfgs() is True
+
 
 class TestWarmStartHorizons:
     """Horizon warm start (_warm_start_thetas): exact-consistency invariant
