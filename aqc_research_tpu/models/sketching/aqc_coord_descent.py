@@ -1,9 +1,15 @@
 """Coordinate-descent driver for full AQC.
 
-TPU-native counterpart of the reference driver
-(``/root/reference/aqc_research/model_sketching/aqc_coord_descent.py:32-232``):
-multi-start loop of on-device coordinate-descent sweeps until the parameter
-change falls below 1e-8 / maxiter / stoppers fire.
+Capability counterpart of the reference driver
+(``/root/reference/aqc_research/model_sketching/aqc_coord_descent.py:32-232``),
+built around the framework's own execution shape: the ENTIRE multi-sweep
+descent of a restart runs on device as one chunk-dispatched
+``lax.while_loop`` (ops.coord_descent.coord_descent_run) — per-sweep stop
+tests (angle-change floor, small-objective threshold) are loop carries, the
+wall-clock limit is enforced between dispatch chunks, and the per-sweep
+convergence profile comes back as one array.  The reference instead drives
+every sweep from a host loop with host-side stoppers; through a remote
+dispatch tunnel that shape pays ~60 ms per sweep.
 """
 
 from __future__ import annotations
@@ -13,87 +19,75 @@ import time
 from typing import Callable, Optional, Union
 
 import numpy as np
-from scipy.stats import truncnorm
 
 from ... import checking as chk
-from ...ops.coord_descent import coord_descent_single_sweep
+from ...ops.coord_descent import coord_descent_run
 from ...ops.statevector import ansatz_to_matrix
-from ...optim import stoppers as aqcopt
 from ...parallel.executor import run_jobs
-from ...utils import create_logger, prepare_output_folder, print_options, to_host
+from ...utils import create_logger, to_host
 from . import sk_utils as sku
 
+# Reference stop criteria carried into the device loop: descent ends when no
+# angle moved more than this in a sweep (aqc_coord_descent.py:37), or when
+# the objective is already small (SmallObjectiveStopper default).
+_ANGLE_CHANGE_FLOOR = 1e-8
+_SMALL_FOBJ = 1e-2
 
-def _single_simulation(job_index: int, config: dict) -> dict:
-    """One restart (cf. reference _single_simulation, aqc_coord_descent.py:32-122)."""
+
+def _descend_from_random_start(job_index: int, config: dict) -> dict:
+    """One restart: seed angles, run the on-device multi-sweep descent,
+    package the result in the executor/postprocess schema."""
+    from scipy.stats import truncnorm
+
     logger = create_logger("job_0") if job_index == 0 else None
-    thetas_change_threshold = 1e-8
-    target = config["su_target"]
-
-    stop_timeout = aqcopt.TimeoutStopper(time_limit=config["time_limit"])
-    stop_small_fobj = aqcopt.SmallObjectiveStopper(fobj_thr=1e-2)
-
     circ = sku.create_ansatz(
         num_qubits=config["num_qubits"],
         num_layers=config["num_layers"],
         circuit_layout=config["circuit_layout"],
         logger=logger,
     )
-    thetas_0 = np.asarray(truncnorm.rvs(a=-1, b=1, size=circ.num_thetas) * np.pi)
-    thetas = thetas_0.copy()
-    fobj_best, thetas_best = np.inf, thetas_0.copy()
-    nit = 0
-    fobj_profile: list = []
-    result: dict = {}
+    start_angles = np.asarray(
+        truncnorm.rvs(a=-1, b=1, size=circ.num_thetas) * np.pi
+    )
 
-    try:
-        while nit < config["maxiter"]:
-            nit += 1
-            prev_thetas = thetas
-            new_thetas, fobj = coord_descent_single_sweep(circ, thetas, target)
-            thetas = np.asarray(new_thetas)
-            fobj = float(fobj)
-            thetas_change = float(np.amax(np.abs(thetas - prev_thetas)))
+    run, timed_out = coord_descent_run(
+        circ,
+        start_angles,
+        config["su_target"],
+        maxiter=int(config["maxiter"]),
+        thetas_tol=_ANGLE_CHANGE_FLOOR,
+        fobj_thr=_SMALL_FOBJ,
+        time_limit=float(config["time_limit"]),
+    )
+    sweeps_done = int(np.asarray(run.num_sweeps))
+    profile = np.asarray(run.profile, np.float32)[:sweeps_done]
+    best_angles = np.asarray(to_host(run.thetas), np.float64)
+    if logger:
+        for k, fobj_k in enumerate(profile):
+            logger.info("sweep %4d: fobj %0.4f", k + 1, float(fobj_k))
 
-            if fobj < fobj_best:
-                fobj_best = fobj
-                np.copyto(thetas_best, thetas)
-            fobj_profile.append(fobj)
-            if logger:
-                logger.info(
-                    f"sweep {nit:4d}: fobj {fobj:0.4f}, step size {thetas_change:0.5f}"
-                )
-
-            stop_timeout.check()
-            stop_small_fobj.check(fobj=fobj)
-            if thetas_change < thetas_change_threshold:
-                break
-        result["exit_status"] = "normal"
-    except StopIteration:
-        result["exit_status"] = "early"
-    except TimeoutError:
-        result["exit_status"] = "timeout"
-    finally:
-        fid = sku.fidelity(to_host(ansatz_to_matrix(circ, thetas_best)), target)
-        result.update(
-            {
-                "cost": float(fobj_best),
-                "nit": nit,
-                "num_fun_ev": nit,
-                "num_grad_ev": nit,
-                "num_iters": nit,
-                "ini_thetas": thetas_0,
-                "thetas": thetas_best,
-                "entangler": circ.entangler,
-                "blocks": circ.blocks,
-                "fidelity": fid,
-                "stats": {
-                    "convergence_profile": np.asarray(fobj_profile, np.float32),
-                    "nit": nit,
-                },
-            }
-        )
-    return result
+    if timed_out:
+        outcome = "timeout"
+    elif bool(np.asarray(run.converged)):
+        outcome = "early"  # a stop criterion fired before maxiter
+    else:
+        outcome = "normal"
+    return {
+        "cost": float(np.asarray(run.fobj)),
+        "nit": sweeps_done,
+        "num_fun_ev": sweeps_done,
+        "num_grad_ev": sweeps_done,
+        "num_iters": sweeps_done,
+        "exit_status": outcome,
+        "ini_thetas": start_angles,
+        "thetas": best_angles,
+        "entangler": circ.entangler,
+        "blocks": circ.blocks,
+        "fidelity": sku.fidelity(
+            to_host(ansatz_to_matrix(circ, best_angles)), config["su_target"]
+        ),
+        "stats": {"convergence_profile": profile, "nit": sweeps_done},
+    }
 
 
 def aqc_coordinate_descent(
@@ -105,7 +99,7 @@ def aqc_coordinate_descent(
     target_name_or_func: Union[str, Callable[[int], np.ndarray]],
     result_folder: str,
     parametric_depth: int = 3,
-    seed: int = int(round(time.time())),
+    seed: Optional[int] = None,
     time_limit: int = 0,
     num_simulations: int = 1,
     num_jobs: int = 1,
@@ -113,52 +107,52 @@ def aqc_coordinate_descent(
     job_cache_dir: Optional[str] = None,
     logger: Optional[logging.Logger] = None,
 ) -> str:
-    """Multi-start coordinate-descent AQC (cf. reference
-    aqc_coordinate_descent, aqc_coord_descent.py:125-232).
+    """Multi-start coordinate-descent AQC; returns the results folder.
 
-    ``job_cache_dir``: stable directory for per-job result caching — re-run
-    the same call after a crash and completed restarts are reused instead of
-    recomputed (see parallel.executor.run_jobs)."""
+    Same tunables as the reference entry point
+    (aqc_coord_descent.py:125-232).  ``job_cache_dir`` enables per-restart
+    crash-resume (parallel.executor.run_jobs) — pin ``seed`` when using it,
+    or the persisted base seed of the first run is reused automatically.
+    """
     assert chk.is_int(num_qubits, num_qubits >= 2)
     assert circ_layout in sku.supported_layouts()
     assert chk.is_int(maxiter, maxiter > 0)
 
-    if logger is None:
-        logger = create_logger(__file__)
-
-    np.random.seed(seed)
-    result_folder = prepare_output_folder(result_folder, num_qubits, __file__, tag)
-    print_options(dict(vars()), logger, numeric_or_str=True)
-
-    target_mat, su_target = sku.create_target_matrix(
+    opt_echo = dict(vars())
+    logger, seed, out_dir, target_mat, su_target = sku.experiment_prologue(
         num_qubits=num_qubits,
+        circ_layout=circ_layout,
+        parametric_depth=parametric_depth,
         target_name_or_func=target_name_or_func,
-        num_layers=parametric_depth,
-        circuit_layout=circ_layout,
+        result_folder=result_folder,
+        tag=tag,
+        seed=seed,
+        job_cache_dir=job_cache_dir,
+        script_file=__file__,
+        options=opt_echo,
         logger=logger,
     )
-    config = {
-        "num_qubits": int(num_qubits),
-        "num_layers": int(num_layers),
-        "circuit_layout": circ_layout,
-        "maxiter": int(maxiter),
-        "time_limit": int(time_limit),
-        "su_target": su_target,
-    }
+    restart_config = dict(
+        num_qubits=int(num_qubits),
+        num_layers=int(num_layers),
+        circuit_layout=circ_layout,
+        maxiter=int(maxiter),
+        time_limit=int(time_limit),
+        su_target=su_target,
+    )
     results = run_jobs(
-        configs=[config] * num_simulations,
+        configs=[restart_config] * num_simulations,
         seed=seed,
-        job_function=_single_simulation,
+        job_function=_descend_from_random_start,
         tolerate_failure=True,
         num_jobs=num_jobs,
         cache_dir=job_cache_dir,
     )
-    sku.postprocess_and_save_results(
+    return sku.experiment_epilogue(
         num_qubits=num_qubits,
         results=results,
         target_mat=target_mat,
         su_target=su_target,
-        output_dir=result_folder,
+        output_dir=out_dir,
         logger=logger,
     )
-    return result_folder

@@ -29,6 +29,103 @@ from ...utils import create_logger, logi, num_cpus, to_host
 _logger = create_logger(__file__)
 
 
+def resolve_base_seed(
+    seed: Optional[int],
+    job_cache_dir: Optional[str],
+    logger: Optional[logging.Logger] = None,
+) -> int:
+    """Resolves the driver's base PRNG seed, keeping crash-resume honest.
+
+    Per-restart results cached under ``job_cache_dir`` are keyed by seeds
+    derived from the base seed, so a resume that silently picks a NEW base
+    seed (the old wall-clock default) invalidates every cache entry and the
+    resume no-ops.  Rules:
+
+    * explicit ``seed``: used verbatim and persisted next to the cache,
+    * no seed + a cache dir holding a persisted seed: that seed is REUSED
+      (logged) so resumes work without pinning,
+    * no seed otherwise: derived from the wall clock (and persisted when a
+      cache dir is given, arming future resumes).
+    """
+    marker = (
+        os.path.join(job_cache_dir, "base_seed.txt") if job_cache_dir else None
+    )
+    if seed is None and marker and os.path.isfile(marker):
+        with open(marker) as fld:
+            seed = int(fld.read().strip())
+        logi(
+            logger,
+            f"reusing the persisted base seed {seed} from {job_cache_dir!r} "
+            "(pass seed= explicitly to override; a different seed ignores "
+            "the cached restarts)",
+        )
+        return seed
+    if seed is None:
+        seed = int(round(time.time()))
+    if marker:
+        os.makedirs(job_cache_dir, exist_ok=True)
+        if not os.path.isfile(marker):
+            with open(marker, "w") as fld:
+                fld.write(str(int(seed)))
+    return int(seed)
+
+
+def experiment_prologue(
+    *,
+    num_qubits: int,
+    circ_layout: str,
+    parametric_depth: int,
+    target_name_or_func: Union[str, Callable[[int], np.ndarray]],
+    result_folder: str,
+    tag: str,
+    seed: Optional[int],
+    job_cache_dir: Optional[str],
+    script_file: str,
+    options: dict,
+    logger: Optional[logging.Logger],
+):
+    """Shared driver prologue: logger, base seed (resume-aware), output
+    folder, option echo, and the (U, SU) target pair.  Returns
+    ``(logger, seed, output_folder, target_mat, su_target)``."""
+    if logger is None:
+        logger = create_logger(script_file)
+    seed = resolve_base_seed(seed, job_cache_dir, logger)
+    np.random.seed(seed)
+    from ...utils import prepare_output_folder, print_options
+
+    out = prepare_output_folder(result_folder, num_qubits, script_file, tag)
+    print_options(options, logger, numeric_or_str=True)
+    target_mat, su_target = create_target_matrix(
+        num_qubits=num_qubits,
+        target_name_or_func=target_name_or_func,
+        num_layers=parametric_depth,
+        circuit_layout=circ_layout,
+        logger=logger,
+    )
+    return logger, seed, out, target_mat, su_target
+
+
+def experiment_epilogue(
+    *,
+    num_qubits: int,
+    results: List[Dict],
+    target_mat: np.ndarray,
+    su_target: np.ndarray,
+    output_dir: str,
+    logger: logging.Logger,
+) -> str:
+    """Shared driver epilogue: sort, score, persist; returns the folder."""
+    postprocess_and_save_results(
+        num_qubits=num_qubits,
+        results=results,
+        target_mat=target_mat,
+        su_target=su_target,
+        output_dir=output_dir,
+        logger=logger,
+    )
+    return output_dir
+
+
 def top_singular_values(mat: np.ndarray, k: int = 10) -> np.ndarray:
     """Largest ``k`` singular values via randomized SVD (SciPy)."""
     from scipy.sparse.linalg import svds

@@ -56,6 +56,21 @@ def _schedule_fingerprint(opts: UserOptions) -> dict:
         "evol_times": [float(t) for t in np.asarray(opts.evol_times).ravel()],
         "trotter_steps": [int(s) for s in np.asarray(opts.trotter_steps).ravel()],
         "second_order_trotter": bool(opts.second_order_trotter),
+        # Options that shape per-horizon RESULTS (not just the schedule): a
+        # resume under a different threshold / layer schedule / iteration
+        # budget would silently mix horizons computed under different
+        # settings into one archive.
+        "fidelity_thr": (
+            None if opts.fidelity_thr is None else float(opts.fidelity_thr)
+        ),
+        "maxiter": int(opts.maxiter),
+        "num_expansions": int(getattr(opts, "num_expansions", 0)),
+        "num_layers_inc": int(opts.num_layers_inc),
+        "manual_num_layers": (
+            None
+            if getattr(opts, "manual_num_layers", None) is None
+            else [int(v) for v in opts.manual_num_layers]
+        ),
     }
 
 

@@ -15,8 +15,8 @@ repeated sweeps run back-to-back on device with no host round trips.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
+from functools import lru_cache, partial
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -149,3 +149,114 @@ def coord_descent_single_sweep(
     mutating Θ in place.
     """
     return _coord_descent_sweep(circ, jnp.asarray(thetas), as_device(target))
+
+
+class CoordDescentRun(NamedTuple):
+    thetas: jax.Array  # best parameters seen (lowest fobj sweep)
+    fobj: jax.Array  # best objective value
+    num_sweeps: jax.Array  # sweeps actually executed
+    converged: jax.Array  # True when a stop condition fired before maxiter
+    profile: jax.Array  # (maxiter,) per-sweep fobj, NaN beyond num_sweeps
+
+
+@lru_cache(maxsize=None)
+def coord_descent_programs(
+    circ: Ansatz,
+    maxiter: int,
+    thetas_tol: float = 1e-8,
+    fobj_thr: float = None,
+):
+    """Jitted ``(init, chunk, extract)`` for a MULTI-SWEEP coordinate-descent
+    loop — the whole descent runs on device as one ``lax.while_loop`` over
+    sweeps (the reference drives every sweep from a host loop,
+    aqc_coord_descent.py:58-88; through a remote-dispatch tunnel that costs
+    ~60 ms per sweep, so on-device looping is the production shape).
+
+    Same chunked contract as ``optim.lbfgs.lbfgs_chunk_programs``: the carry
+    ends in a traced sweep LIMIT, the host may re-enter the compiled loop in
+    chunks and check the wall clock between chunks.  Stops when the largest
+    angle change of a sweep falls below ``thetas_tol`` (reference threshold,
+    aqc_coord_descent.py:37), when ``fobj < fobj_thr``, or at ``maxiter``.
+    """
+    thr = -jnp.inf if fobj_thr is None else float(fobj_thr)
+
+    def cond(carry):
+        it, stop, limit = carry[0], carry[1], carry[-1]
+        return jnp.logical_and(it < limit, jnp.logical_not(stop))
+
+    def init_impl(thetas0):
+        thetas0 = jnp.asarray(thetas0)
+        profile = jnp.full((int(maxiter),), jnp.nan, thetas0.dtype)
+        return (
+            jnp.asarray(0),
+            jnp.asarray(False),
+            thetas0,
+            jnp.asarray(jnp.inf, thetas0.dtype),
+            thetas0,
+            profile,
+            jnp.asarray(0),
+        )
+
+    def chunk_impl(carry, limit, target):
+        def body_t(carry):
+            it, _, thetas, best_f, best_th, profile, lim = carry
+            new_thetas, fobj = _coord_descent_sweep.__wrapped__(
+                circ, thetas, target
+            )
+            change = jnp.max(jnp.abs(new_thetas - thetas))
+            improved = fobj < best_f
+            best_f = jnp.where(improved, fobj, best_f)
+            best_th = jnp.where(improved, new_thetas, best_th)
+            profile = profile.at[it].set(fobj.astype(profile.dtype))
+            stop = jnp.logical_or(change < thetas_tol, fobj < thr)
+            return (it + 1, stop, new_thetas, best_f, best_th, profile, lim)
+
+        carry = carry[:-1] + (jnp.asarray(limit),)
+        return jax.lax.while_loop(cond, body_t, carry)
+
+    def extract(carry):
+        it, stop, _, best_f, best_th, profile, _ = carry
+        return CoordDescentRun(best_th, best_f, it, stop, profile)
+
+    return jax.jit(init_impl), jax.jit(chunk_impl), extract
+
+
+def coord_descent_run(
+    circ: Ansatz,
+    thetas0,
+    target,
+    *,
+    maxiter: int,
+    thetas_tol: float = 1e-8,
+    fobj_thr: float = None,
+    time_limit: float = None,
+    chunk_sweeps: int = 20,
+) -> Tuple[CoordDescentRun, bool]:
+    """Full multi-sweep coordinate descent on device, chunk-dispatched.
+
+    Returns ``(CoordDescentRun, timed_out)``.  ``time_limit`` of ``None`` or
+    <= 0 disables the clock."""
+    import time as _time
+
+    init_j, chunk_j, extract = coord_descent_programs(
+        circ, int(maxiter), float(thetas_tol),
+        None if fobj_thr is None else float(fobj_thr),
+    )
+    tgt = as_device(target)
+    deadline = (
+        None
+        if time_limit is None or time_limit <= 0
+        else _time.perf_counter() + float(time_limit)
+    )
+    carry = init_j(thetas0)
+    it, timed_out = 0, False
+    while it < maxiter:
+        nxt = min(it + int(chunk_sweeps), int(maxiter))
+        carry = chunk_j(carry, nxt, tgt)
+        it = int(np.asarray(carry[0]))
+        if bool(np.asarray(carry[1])):
+            break
+        if deadline is not None and _time.perf_counter() >= deadline:
+            timed_out = it < maxiter
+            break
+    return extract(carry), timed_out

@@ -32,9 +32,38 @@ def _job_cache_path(cache_dir: str, job_index: int) -> str:
     return os.path.join(cache_dir, f"job_{job_index:04d}.pkl")
 
 
-def _load_cached_job(cache_dir: str, job_index: int, job_seed: int) -> Optional[Dict]:
+def config_fingerprint(config: Dict) -> str:
+    """Digest of a job config: every key plus a content digest of each value
+    (ndarrays by bytes+shape+dtype, scalars/strings by repr, callables by
+    qualified name).  Cached job results are keyed by this, so re-running
+    with the same seed and cache dir but CHANGED parameters — a different
+    target matrix, maxiter, layer count — recomputes instead of silently
+    reusing results computed for another problem (the horizon checkpoint's
+    fingerprint-refusal contract, time_evol._schedule_fingerprint, applied
+    to the job cache)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for key in sorted(config):
+        h.update(str(key).encode())
+        val = config[key]
+        if isinstance(val, np.ndarray):
+            h.update(str(val.shape).encode())
+            h.update(str(val.dtype).encode())
+            h.update(np.ascontiguousarray(val).tobytes())
+        elif callable(val):
+            h.update(getattr(val, "__qualname__", repr(val)).encode())
+        else:
+            h.update(repr(val).encode())
+    return h.hexdigest()[:20]
+
+
+def _load_cached_job(
+    cache_dir: str, job_index: int, job_seed: int, fingerprint: str
+) -> Optional[Dict]:
     """A cached result is reused only when it completed successfully under
-    the SAME derived seed — a resume with a different base seed recomputes."""
+    the SAME derived seed AND the same config fingerprint — a resume with a
+    different base seed or changed parameters recomputes."""
     path = _job_cache_path(cache_dir, job_index)
     if not os.path.isfile(path):
         return None
@@ -47,6 +76,7 @@ def _load_cached_job(cache_dir: str, job_index: int, job_seed: int) -> Optional[
         isinstance(result, dict)
         and str(result.get("status", "")).startswith("ok")
         and result.get("seed") == job_seed
+        and result.get("config_fingerprint") == fingerprint
     ):
         result["cached"] = True
         return result
@@ -74,8 +104,9 @@ def _job_wrapper(
     (cf. reference _job_function_wrapper, job_executor.py:39-93).  With
     ``cache_dir``, completed jobs are persisted and reused on re-run."""
     job_seed = seed + 7 * (job_index + 1)
+    fingerprint = config_fingerprint(config) if cache_dir is not None else ""
     if cache_dir is not None:
-        cached = _load_cached_job(cache_dir, job_index, job_seed)
+        cached = _load_cached_job(cache_dir, job_index, job_seed, fingerprint)
         if cached is not None:
             return cached
     try:
@@ -91,6 +122,7 @@ def _job_wrapper(
             }
         )
         if cache_dir is not None:
+            result["config_fingerprint"] = fingerprint
             _save_cached_job(cache_dir, job_index, result)
     except Exception:  # noqa: BLE001 — captured into the result status
         print(f"exception in job={job_index}\n", flush=True)

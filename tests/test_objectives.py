@@ -237,3 +237,40 @@ class TestSketching:
             thetas, fobj = coord_descent_single_sweep(circ, thetas, target)
             thetas = np.asarray(thetas)
         assert float(fobj) < min(0.2, fobj0)
+
+    def test_coord_descent_run_matches_host_loop(self):
+        """The on-device multi-sweep loop (coord_descent_run) reproduces the
+        host-driven sweep sequence exactly and honors its stop contracts."""
+        from aqc_research_tpu.ops.coord_descent import coord_descent_run
+
+        np.random.seed(12)
+        n = 2
+        circ = sku.create_ansatz(num_qubits=n, num_layers=3, circuit_layout="spin")
+        target = make_su_matrix(make_target_matrix("random", n))
+        th0 = rand_thetas(circ.num_thetas)
+
+        th = th0.copy()
+        best = np.inf
+        for _ in range(30):
+            prev = th
+            th_new, fobj = coord_descent_single_sweep(circ, th, target)
+            th = np.asarray(th_new)
+            best = min(best, float(fobj))
+            if np.max(np.abs(th - prev)) < 1e-8:
+                break
+
+        run, timed_out = coord_descent_run(
+            circ, th0, target, maxiter=30, chunk_sweeps=7
+        )
+        assert not timed_out
+        np.testing.assert_allclose(float(run.fobj), best, atol=1e-12)
+        profile = np.asarray(run.profile)
+        sweeps = int(run.num_sweeps)
+        assert np.all(np.isfinite(profile[:sweeps]))
+        assert np.all(np.isnan(profile[sweeps:]))
+
+        # The wall clock fires between chunks.
+        run2, to2 = coord_descent_run(
+            circ, th0, target, maxiter=4000, time_limit=1e-9, chunk_sweeps=4
+        )
+        assert to2 and int(run2.num_sweeps) == 4

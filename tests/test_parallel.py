@@ -139,6 +139,32 @@ class TestExecutor:
         assert calls["n"] == 7
         assert all("cached" not in r for r in results)
 
+    def test_run_jobs_cache_rejects_changed_config(self, tmp_path):
+        """Same seed + same cache dir but CHANGED parameters (e.g. a
+        different target matrix or maxiter) must recompute — stale results
+        scored against a new target would silently corrupt the output."""
+        cache = str(tmp_path / "jobs")
+        calls = {"n": 0}
+
+        def job(idx, config):
+            calls["n"] += 1
+            return {"cost": float(config["target"].sum()) + config["maxiter"]}
+
+        cfg = {"target": np.eye(2), "maxiter": 10}
+        run_jobs([cfg], seed=1, job_function=job, cache_dir=cache)
+        assert calls["n"] == 1
+        # Identical config: cache hit.
+        res = run_jobs([cfg], seed=1, job_function=job, cache_dir=cache)
+        assert calls["n"] == 1 and res[0]["cached"] is True
+        # Changed scalar: recompute.
+        cfg2 = {"target": np.eye(2), "maxiter": 20}
+        res = run_jobs([cfg2], seed=1, job_function=job, cache_dir=cache)
+        assert calls["n"] == 2 and "cached" not in res[0]
+        # Changed target CONTENT (same shape/dtype): recompute.
+        cfg3 = {"target": 2.0 * np.eye(2), "maxiter": 20}
+        res = run_jobs([cfg3], seed=1, job_function=job, cache_dir=cache)
+        assert calls["n"] == 3 and "cached" not in res[0]
+
 
 class TestCheckpoint:
     def test_roundtrip_with_mps(self, tmp_path):

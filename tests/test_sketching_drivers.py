@@ -63,3 +63,48 @@ class TestSketchingDrivers:
         with open(os.path.join(out, "simulation_results.pkl"), "rb") as fld:
             payload = pickle.load(fld)
         assert payload["sorted_results"][0]["cost"] < 0.5
+
+
+class TestDriverResume:
+    def test_sketched_resume_reuses_persisted_seed(self, tmp_path):
+        """job_cache_dir without an explicit seed: the first run persists its
+        base seed; a resume reuses it, so cached restarts actually hit
+        (the wall-clock default used to invalidate the cache silently)."""
+        cache = str(tmp_path / "cache")
+        kw = dict(
+            num_qubits=2,
+            num_layers=2,
+            num_skvecs=2,
+            circ_layout="spin",
+            maxiter=6,
+            learn_rate=0.1,
+            skvecs_type="alt",
+            target_name_or_func="shift1",
+            num_simulations=2,
+            job_cache_dir=cache,
+        )
+        out1 = aqc_sketching(result_folder=str(tmp_path / "r1"), **kw)
+        out2 = aqc_sketching(result_folder=str(tmp_path / "r2"), **kw)
+        with open(os.path.join(out1, "simulation_results.pkl"), "rb") as fld:
+            res1 = pickle.load(fld)["sorted_results"]
+        with open(os.path.join(out2, "simulation_results.pkl"), "rb") as fld:
+            res2 = pickle.load(fld)["sorted_results"]
+        assert all(r.get("cached") for r in res2), "resume must hit the cache"
+        assert [r["cost"] for r in res2] == [r["cost"] for r in res1]
+
+    def test_coord_descent_time_limit(self, tmp_path):
+        out = aqc_coordinate_descent(
+            num_qubits=2,
+            num_layers=4,
+            circ_layout="spin",
+            maxiter=5000,
+            target_name_or_func="random",
+            result_folder=str(tmp_path),
+            seed=5,
+            time_limit=1,  # expires between the first chunks
+        )
+        with open(os.path.join(out, "simulation_results.pkl"), "rb") as fld:
+            payload = pickle.load(fld)
+        res = payload["sorted_results"][0]
+        assert res["exit_status"] in ("timeout", "early")
+        assert res["nit"] < 5000
