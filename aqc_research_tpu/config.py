@@ -141,6 +141,39 @@ def svd_impl() -> str:
     return "rand" if is_tpu() else "native"
 
 
+from contextlib import contextmanager as _contextmanager
+
+
+@_contextmanager
+def svd_impl_override(impl: str):
+    """Scoped ``set_svd_impl``: forces ``impl`` inside the block, restores
+    the previous policy on exit.  The policy is read at TRACE time, so a
+    program that must be pinned to one implementation regardless of the
+    ambient policy wraps its trace in this (and keys its program cache on
+    the impl — see jit_asp._mps_horizon_program)."""
+    global _SVD_IMPL
+    if impl not in _SVD_IMPLS:
+        raise ValueError(f"unknown svd impl: {impl!r} (use one of {_SVD_IMPLS})")
+    previous = _SVD_IMPL
+    _SVD_IMPL = impl
+    try:
+        yield
+    finally:
+        _SVD_IMPL = previous
+
+
+def mps_watchdog_enabled() -> bool:
+    """The MPS optimization watchdog (jit_asp): after an on-device horizon
+    optimization under a fast SVD route, the returned iterate's objective is
+    RE-EVALUATED under the reference decomposition and the run is flagged
+    and re-optimized when the two disagree grossly — the runtime fence for
+    the fobj=1.0 collapse class (margin-thinned SVD variants can corrupt
+    the objective mid-optimization in ways point probes cannot see;
+    RESULTS.md round-4 qrlite findings).  Costs one extra objective
+    evaluation per horizon.  Disable with AQC_TPU_MPS_WATCHDOG=0."""
+    return os.environ.get("AQC_TPU_MPS_WATCHDOG", "1") != "0"
+
+
 _JACOBI_SWEEPS = int(os.environ.get("AQC_TPU_JACOBI_SWEEPS", "0")) or None
 
 

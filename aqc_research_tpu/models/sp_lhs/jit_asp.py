@@ -516,6 +516,148 @@ def optimize_horizon_mps_multistart(
     )
 
 
+# -----------------------------------------------------------------------------
+# MPS optimization watchdog (the fobj=1.0 collapse fence).
+#
+# Round-4 finding (RESULTS.md qrlite/cholqr gauntlets): margin-thinned SVD
+# variants can corrupt the MPS objective MID-OPTIMIZATION in ways point
+# probes cannot see — the observed signature is the jitted loop collapsing
+# to fobj ~ 1.0 (the state annihilated by garbage factors) while the same
+# iterate evaluates fine under the reference decomposition.  The production
+# default ("rand" + fused kernels) is in-band at every tested point, but its
+# safety is empirical, not structural.  The fence: after every on-device
+# horizon optimization under a non-reference route, RE-EVALUATE the returned
+# best iterate under the reference decomposition; a gross disagreement flags
+# the run (module logger + ``watchdog_events``) and re-optimizes the horizon
+# under the reference route.  One extra objective evaluation per horizon.
+# -----------------------------------------------------------------------------
+
+import logging as _logging
+
+_watchdog_logger = _logging.getLogger(__name__)
+
+#: Flagged events (dicts with the disagreeing values), newest last — a
+#: monitoring hook for drivers and tests.
+watchdog_events: list = []
+
+# A disagreement is "gross" when it exceeds BOTH bounds: cross-impl noise at
+# a common iterate is ~1e-5-class, the collapse signature is O(1).  The
+# relative bound scales with the SMALLER of the two values — in a collapse
+# one side is O(1) garbage and the other is the small true objective, and
+# either side may be the corrupted one.
+_WATCHDOG_ABS = 1e-2
+_WATCHDOG_REL = 1.0
+
+
+def _watchdog_reference_impl() -> str:
+    """The decomposition the watchdog trusts: the production-proven Pallas
+    Jacobi kernel on TPU, LAPACK SVD elsewhere."""
+    from ...config import is_tpu
+
+    return "jacobi" if is_tpu() else "native"
+
+
+def _wrap_svd_impl(fn, impl: str):
+    """Pins ``fn``'s trace to one SVD implementation (the policy is read at
+    trace time; programs wrapped this way must be cached keyed on impl)."""
+    from ...config import svd_impl_override
+
+    def pinned(*args):
+        with svd_impl_override(impl):
+            return fn(*args)
+
+    return pinned
+
+
+from functools import lru_cache as _wd_lru_cache
+
+
+@_wd_lru_cache(maxsize=None)
+def _mps_value_program(circ: Ansatz, base_bits: tuple, trunc_thr: float, impl: str):
+    value, _ = _mps_value_fns(circ, base_bits, trunc_thr)
+    return jax.jit(_wrap_svd_impl(value, impl))
+
+
+@_wd_lru_cache(maxsize=None)
+def _mps_horizon_program(
+    circ: Ansatz,
+    base_bits: tuple,
+    trunc_thr: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+    impl: str,
+):
+    """The one-program MPS horizon runner, PINNED to ``impl`` and cached per
+    (config, impl) — flipping the ambient SVD policy between calls can never
+    serve a stale program (jit caches know nothing of the global policy)."""
+    value, value_and_grad = _mps_value_fns(circ, base_bits, trunc_thr)
+
+    def run(x0, tgt):
+        res = minimize_lbfgs_compact(
+            lambda th: value(th, tgt),
+            x0,
+            maxiter=maxiter,
+            fobj_thr=fobj_thr,
+            no_improve_iters=no_improve_iters,
+            value_and_grad_fn=lambda th: value_and_grad(th, tgt),
+        )
+        fid = 1.0 - res.fobj
+        return JitHorizonResult(
+            res.thetas, res.fobj, fid, res.num_iters, res.converged
+        )
+
+    return jax.jit(_wrap_svd_impl(run, impl))
+
+
+def _mps_watchdog(
+    circ: Ansatz,
+    thetas0,
+    target,
+    res: JitHorizonResult,
+    *,
+    base_bits: tuple,
+    trunc_thr: float,
+    fobj_thr,
+    maxiter: int,
+    no_improve_iters,
+) -> JitHorizonResult:
+    """Re-evaluates ``res.thetas`` under the reference decomposition; on a
+    gross disagreement logs the event and re-optimizes the horizon under the
+    reference route, returning the recovered result."""
+    from ...config import mps_watchdog_enabled, svd_impl
+
+    ref_impl = _watchdog_reference_impl()
+    if not mps_watchdog_enabled() or svd_impl() == ref_impl:
+        return res
+    check = _mps_value_program(circ, base_bits, trunc_thr, ref_impl)
+    fobj_ref = float(np.asarray(check(res.thetas, target)))
+    fobj_opt = float(np.asarray(res.fobj))
+    diff = abs(fobj_opt - fobj_ref)
+    scale = min(abs(fobj_opt), abs(fobj_ref))
+    if diff <= max(_WATCHDOG_ABS, _WATCHDOG_REL * scale):
+        return res
+    event = {
+        "fobj_optimized": fobj_opt,
+        "fobj_reference": fobj_ref,
+        "svd_impl": svd_impl(),
+        "reference_impl": ref_impl,
+        "num_qubits": circ.num_qubits,
+    }
+    watchdog_events.append(event)
+    _watchdog_logger.warning(
+        "MPS watchdog: optimized fobj %0.6g disagrees with the reference "
+        "decomposition's %0.6g at the returned iterate (svd_impl=%s) — "
+        "re-optimizing this horizon under %s",
+        fobj_opt, fobj_ref, event["svd_impl"], ref_impl,
+    )
+    recover = _mps_horizon_program(
+        circ, base_bits, trunc_thr, fobj_thr, maxiter, no_improve_iters,
+        ref_impl,
+    )
+    return recover(jnp.asarray(thetas0), target)
+
+
 def optimize_horizon_mps_jit(
     circ: Ansatz,
     thetas0,
@@ -531,22 +673,31 @@ def optimize_horizon_mps_jit(
     fidelity objective (one fused-block V† sweep + flip-amplitude read) and
     the layer-batched analytic MPS co-sweep gradient run inside one jitted
     compact-L-BFGS loop.  ``base_bits`` encodes the X-layer product prep
-    (e.g. the Neel state)."""
+    (e.g. the Neel state).
+
+    When the ambient SVD route is not the reference decomposition, the
+    result passes the collapse watchdog (``_mps_watchdog``): a gross
+    objective disagreement at the returned iterate is logged and the horizon
+    re-optimized under the reference route."""
     if len(base_bits) != circ.num_qubits:
         raise ValueError(
             f"base_bits must give one 0/1 occupation per site: got "
             f"{len(base_bits)} for {circ.num_qubits} qubits"
         )
+    from ...config import svd_impl
+
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
-    return _optimize_horizon_mps(
-        circ,
-        jnp.asarray(thetas0),
-        target,
-        tuple(int(b) for b in base_bits),
-        float(trunc_thr),
-        fobj_thr,
-        int(maxiter),
-        None if no_improve_iters is None else int(no_improve_iters),
+    base_t = tuple(int(b) for b in base_bits)
+    no_imp = None if no_improve_iters is None else int(no_improve_iters)
+    program = _mps_horizon_program(
+        circ, base_t, float(trunc_thr), fobj_thr, int(maxiter), no_imp,
+        svd_impl(),
+    )
+    res = program(jnp.asarray(thetas0), target)
+    return _mps_watchdog(
+        circ, thetas0, target, res,
+        base_bits=base_t, trunc_thr=float(trunc_thr), fobj_thr=fobj_thr,
+        maxiter=int(maxiter), no_improve_iters=no_imp,
     )
 
 
@@ -623,12 +774,12 @@ def _surrogate_chunk_cache(
 @_lru_cache(maxsize=None)
 def _mps_chunk_cache(
     circ: Ansatz, base_bits: tuple, trunc_thr: float, fobj_thr, maxiter: int,
-    no_improve_iters,
+    no_improve_iters, impl: str,
 ):
     value, vgrad = _mps_value_fns(circ, base_bits, trunc_thr)
     return lbfgs_chunk_programs(
-        lambda x, st, tgt: (value(x, tgt), st),
-        lambda x, st, tgt: vgrad(x, tgt) + (st,),
+        _wrap_svd_impl(lambda x, st, tgt: (value(x, tgt), st), impl),
+        _wrap_svd_impl(lambda x, st, tgt: vgrad(x, tgt) + (st,), impl),
         maxiter=maxiter,
         fobj_thr=fobj_thr,
         no_improve_iters=no_improve_iters,
@@ -713,20 +864,24 @@ def optimize_horizon_mps_timed(
     chunk_iters: int = 25,
 ):
     """:func:`optimize_horizon_mps_jit` with the wall clock enforced between
-    dispatch chunks.  Returns ``(JitHorizonResult, timed_out)``."""
+    dispatch chunks.  Returns ``(JitHorizonResult, timed_out)``.
+
+    The collapse watchdog runs here too; a flagged horizon's recovery is the
+    one-program reference-route runner (correctness first — the recovery of
+    a rare flagged event does not re-honor ``time_limit``)."""
     if len(base_bits) != circ.num_qubits:
         raise ValueError(
             f"base_bits must give one 0/1 occupation per site: got "
             f"{len(base_bits)} for {circ.num_qubits} qubits"
         )
+    from ...config import svd_impl
+
     fobj_thr = None if fidelity_thr is None else (1.0 - float(fidelity_thr))
+    base_t = tuple(int(b) for b in base_bits)
+    no_imp = None if no_improve_iters is None else int(no_improve_iters)
     programs = _mps_chunk_cache(
-        circ,
-        tuple(int(b) for b in base_bits),
-        float(trunc_thr),
-        fobj_thr,
-        int(maxiter),
-        None if no_improve_iters is None else int(no_improve_iters),
+        circ, base_t, float(trunc_thr), fobj_thr, int(maxiter), no_imp,
+        svd_impl(),
     )
     res, _, timed_out = run_lbfgs_chunked(
         programs,
@@ -738,7 +893,12 @@ def optimize_horizon_mps_timed(
         chunk_iters=int(chunk_iters),
     )
     fid = 1.0 - res.fobj
-    return (
-        JitHorizonResult(res.thetas, res.fobj, fid, res.num_iters, res.converged),
-        timed_out,
+    out = JitHorizonResult(
+        res.thetas, res.fobj, fid, res.num_iters, res.converged
     )
+    out = _mps_watchdog(
+        circ, thetas0, target, out,
+        base_bits=base_t, trunc_thr=float(trunc_thr), fobj_thr=fobj_thr,
+        maxiter=int(maxiter), no_improve_iters=no_imp,
+    )
+    return out, timed_out

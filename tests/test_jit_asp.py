@@ -314,3 +314,91 @@ class TestTimedHorizons:
             np.asarray(res.thetas), np.asarray(ref.thetas), atol=1e-10
         )
         assert float(res.fidelity) > 0.9999
+
+
+class TestMpsWatchdog:
+    """The fobj-collapse fence: gross objective disagreement at the returned
+    iterate is detected and the horizon re-optimized under the reference
+    decomposition (round-4 qrlite findings — RESULTS.md)."""
+
+    def _problem(self):
+        import aqc_research_tpu.targets.trotter as trotop2
+
+        n, evol_time = 4, 0.8
+        ini = trotop2.neel_init_state(n)
+        target_mps = trotop2.Trotter(
+            num_qubits=n, evol_time=evol_time, num_steps=20, delta=1.0,
+            second_order=True,
+        ).as_mps(ini, trunc_thr=1e-12, chi_max=16)
+        circ, thetas0, _, _ = _setup(n=n, layers=2, evol_time=evol_time)
+        base_bits = tuple((1 if k % 2 == 0 else 0) for k in range(n))
+        rng = np.random.default_rng(5)
+        return circ, thetas0 + 0.1 * rng.standard_normal(thetas0.size), \
+            target_mps, base_bits
+
+    def test_healthy_run_is_not_flagged(self):
+        from aqc_research_tpu.config import set_svd_impl
+        from aqc_research_tpu.models.sp_lhs import jit_asp
+
+        circ, th0, target, bits = self._problem()
+        set_svd_impl("rand")  # != the CPU reference impl -> watchdog active
+        try:
+            before = len(jit_asp.watchdog_events)
+            res = jit_asp.optimize_horizon_mps_jit(
+                circ, th0, target, base_bits=bits, trunc_thr=1e-10,
+                fidelity_thr=0.9999, maxiter=150,
+            )
+            assert len(jit_asp.watchdog_events) == before
+            assert float(res.fidelity) > 0.9999
+        finally:
+            set_svd_impl(None)
+
+    def test_corrupted_objective_is_detected_and_recovered(self, monkeypatch):
+        from aqc_research_tpu.config import set_svd_impl
+        from aqc_research_tpu.models.sp_lhs import jit_asp
+
+        circ, th0, target, bits = self._problem()
+        real_program = jit_asp._mps_value_program
+
+        def corrupted(circ_, bits_, thr_, impl_):
+            real = real_program(circ_, bits_, thr_, impl_)
+            # The reference re-evaluation disagrees by O(1) — exactly the
+            # collapse signature (optimized fobj and true fobj diverge).
+            return lambda th, tgt: real(th, tgt) + 1.0
+
+        monkeypatch.setattr(jit_asp, "_mps_value_program", corrupted)
+        set_svd_impl("rand")
+        try:
+            before = len(jit_asp.watchdog_events)
+            res = jit_asp.optimize_horizon_mps_jit(
+                circ, th0, target, base_bits=bits, trunc_thr=1e-10,
+                fidelity_thr=0.9999, maxiter=150,
+            )
+            events = jit_asp.watchdog_events[before:]
+            assert len(events) == 1, "the disagreement must be flagged"
+            assert events[0]["reference_impl"] == "native"
+            # The recovery re-optimized under the reference route and still
+            # reached the bar.
+            assert float(res.fidelity) > 0.9999
+        finally:
+            set_svd_impl(None)
+
+    def test_watchdog_disabled_by_env(self, monkeypatch):
+        from aqc_research_tpu.config import set_svd_impl
+        from aqc_research_tpu.models.sp_lhs import jit_asp
+
+        circ, th0, target, bits = self._problem()
+        monkeypatch.setenv("AQC_TPU_MPS_WATCHDOG", "0")
+        monkeypatch.setattr(
+            jit_asp, "_mps_value_program",
+            lambda *a: (_ for _ in ()).throw(AssertionError("must not run")),
+        )
+        set_svd_impl("rand")
+        try:
+            res = jit_asp.optimize_horizon_mps_jit(
+                circ, th0, target, base_bits=bits, trunc_thr=1e-10,
+                fidelity_thr=0.9999, maxiter=150,
+            )
+            assert float(res.fidelity) > 0.9999
+        finally:
+            set_svd_impl(None)
