@@ -84,7 +84,7 @@ def is_tpu() -> bool:
     return platform not in ("cpu", "gpu")
 
 
-_SVD_IMPLS = ("native", "gram", "embed", "jacobi", "blocked", "rand")
+_SVD_IMPLS = ("native", "gram", "embed", "jacobi", "blocked", "rand", "nullsvd")
 _SVD_IMPL: str | None = os.environ.get("AQC_TPU_SVD_IMPL") or None
 
 
@@ -124,6 +124,11 @@ def set_svd_impl(impl: str | None) -> None:
       megakernel at every eligible chi (see fused_rand_enabled) — the
       UNFUSED rand route has a known TPU-only mid-optimization failure at
       16q chi=64 (RESULTS.md round-4; CPU is unaffected).
+
+    * ``"nullsvd"`` — MEASUREMENT-ONLY pass-through (no decomposition at
+      all): times everything AROUND the SVD in a sweep
+      (benchmarks/probe_sweep_budget.py).  States produced under it are
+      NOT valid; never use outside timing probes.
 
     The choice is read at TRACE time — call ``jax.clear_caches()`` after
     switching if programs were already compiled.

@@ -279,6 +279,21 @@ def _truncated_svd(m: jax.Array, chi: int, trunc_thr: float):
     from ..config import svd_impl
 
     impl = svd_impl()
+    if impl == "nullsvd":
+        # MEASUREMENT-ONLY stand-in (benchmarks/probe_sweep_budget.py):
+        # skips the decomposition entirely so a sweep timed under this impl
+        # measures everything AROUND the SVD (theta builds, environment
+        # contractions, scatter/writeback, dispatch).  u/s/vh are NOT a
+        # valid factorization — states computed under "nullsvd" are garbage.
+        nb = m.shape[-1]
+        u = jnp.broadcast_to(
+            jnp.eye(nb, chi, dtype=m.dtype), m.shape[:-2] + (nb, chi)
+        )
+        vh = m[..., :chi, :]
+        s = jnp.sqrt(jnp.sum(jnp.abs(vh) ** 2, axis=-1))
+        total = jnp.linalg.norm(m, axis=(-2, -1)).astype(s.dtype)
+        mask = jnp.ones(s.shape, bool)
+        return u, s, vh, mask, total
     if impl == "native":
         u, s, vh = jnp.linalg.svd(m, full_matrices=False)
         mask, total = _truncation_mask(s, chi, trunc_thr)
