@@ -30,3 +30,45 @@ def _seed_numpy():
     """Deterministic NumPy seed per test (reference tests use 0x696969)."""
     np.random.seed(0x696969)
     yield
+
+
+# ---------------------------------------------------------------------------
+# Fast-gate subset (VERDICT r4 weak #9): the full suite takes 60-90 min on a
+# 1-core host, which pushes rounds onto ad-hoc subsets.  Modules whose tests
+# are dominated by large compiles / long optimizations are auto-marked
+# "slow"; the curated fast gate is
+#
+#     python -m pytest tests/ -q -n 4 -m "not slow"      (~5-15 min)
+#
+# and covers every engine/IR/optimizer/driver surface at small shapes; the
+# slow set re-verifies the same surfaces at production shapes and the heavy
+# parity/golden pins.  Full suite (no -m) remains the merge gate.
+# ---------------------------------------------------------------------------
+_SLOW_MODULES = {
+    "test_mps",
+    "test_mps_fast_dot_gradient",
+    "test_mps_chain",
+    "test_rand_svd",
+    "test_truncation",
+    "test_fused_pair",
+    "test_fused_rand",
+    "test_jacobi_svd",
+    "test_blocked_jacobi",
+    "test_svd_tpu",
+    "test_time_evol",
+    "test_jit_asp",
+    "test_parallel",
+    "test_distributed",
+    "test_native",
+    "test_collective_model",
+    "test_warm_cache",
+    "test_bench_robust",
+    "test_sketching_drivers",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # Path-derived module name (does not force a module import).
+        if item.path is not None and item.path.stem in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
