@@ -120,3 +120,38 @@ class TestFusedRouting:
                 assert config.fused_pair_enabled(8)
         finally:
             config.set_fused_pair(prior)
+
+
+class TestNullsvdMeasurementRoute:
+    """The measurement-only pass-through (benchmarks/probe_sweep_budget.py)
+    must stay selectable and structurally sound: right shapes, all-keep
+    mask, finite factors — it times everything AROUND the decomposition,
+    so silently breaking it would corrupt future stage budgets."""
+
+    def test_shapes_mask_and_finiteness(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from aqc_research_tpu.config import svd_impl_override
+        from aqc_research_tpu.ops.mps import _truncated_svd
+
+        rng = np.random.default_rng(0)
+        m = jnp.asarray(
+            rng.standard_normal((3, 16, 16)) + 1j * rng.standard_normal((3, 16, 16))
+        )
+        with svd_impl_override("nullsvd"):
+            u, s, vh, mask, total = jax.jit(
+                lambda m: _truncated_svd(m, 8, 1e-6)
+            )(m)
+        assert u.shape == (3, 16, 8) and s.shape == (3, 8)
+        assert vh.shape == (3, 8, 16) and mask.shape == (3, 8)
+        assert bool(jnp.all(mask))
+        for arr in (u, s, vh, total):
+            assert bool(jnp.all(jnp.isfinite(arr).ravel()))
+        # total must be the true Frobenius norm (the scale normalization
+        # downstream divides by it).
+        np.testing.assert_allclose(
+            np.asarray(total), np.linalg.norm(np.asarray(m), axis=(1, 2)),
+            rtol=1e-12,
+        )
