@@ -26,7 +26,11 @@ pass is slower than XLA's — the bias direction makes the decomposition-share
 estimate conservative.  States under nullsvd are garbage; only times matter.
 
 Usage: probe_sweep_budget.py [n chi layers] [--cpu] [--klo=3] [--khi=13]
+       [--stages=total[rand],vdag]  (substring filter; skips the summary)
 Default 20 64 4 (the production benchmark config, 0.05-rad perturbed point).
+A k-pair consistency check (e.g. --klo=5 --khi=25 --stages=total) should
+reproduce the default k=(3,13) slope within noise; disagreement means the
+slope is contaminated (hoisting, adaptive-count drift, or timing noise).
 """
 
 from __future__ import annotations
@@ -96,7 +100,7 @@ def slope_time(name, stage, inputs, k_lo, k_hi):
     return per_ms
 
 
-def main(num_qubits=20, chi=64, layers=4, k_lo=3, k_hi=13):
+def main(num_qubits=20, chi=64, layers=4, k_lo=3, k_hi=13, stages=None):
     trunc_thr = 1e-6
     circ = TrotterAnsatz.make(
         num_qubits, make_trotter_like_circuit(num_qubits, layers), True
@@ -171,18 +175,27 @@ def main(num_qubits=20, chi=64, layers=4, k_lo=3, k_hi=13):
 
         return stage
 
+    def want(name):
+        return stages is None or any(s in name for s in stages)
+
     r = {}
     for impl in (prod, "jacobi", "nullsvd"):
-        r[f"total[{impl}]"] = slope_time(
-            f"total[{impl}]", full_sweep(impl), (th, target, lvec), k_lo, k_hi
-        )
+        if want(f"total[{impl}]"):
+            r[f"total[{impl}]"] = slope_time(
+                f"total[{impl}]", full_sweep(impl), (th, target, lvec),
+                k_lo, k_hi,
+            )
     for impl in (prod, "nullsvd"):
-        r[f"vdag[{impl}]"] = slope_time(
-            f"vdag[{impl}]", vdag_only(impl), (th, target), k_lo, k_hi
+        if want(f"vdag[{impl}]"):
+            r[f"vdag[{impl}]"] = slope_time(
+                f"vdag[{impl}]", vdag_only(impl), (th, target), k_lo, k_hi
+            )
+    if want(f"grad[{prod}]"):
+        r[f"grad[{prod}]"] = slope_time(
+            f"grad[{prod}]", grad_only(prod), (th, lvec, vh0, zc0), k_lo, k_hi
         )
-    r[f"grad[{prod}]"] = slope_time(
-        f"grad[{prod}]", grad_only(prod), (th, lvec, vh0, zc0), k_lo, k_hi
-    )
+    if stages is not None:
+        return  # stage-filtered runs skip the composite summary
 
     total, floor = r[f"total[{prod}]"], r["total[nullsvd]"]
     print(
@@ -216,5 +229,8 @@ if __name__ == "__main__":
             argv.remove(a)
         elif a.startswith("--khi="):
             kw["k_hi"] = int(a.split("=")[1])
+            argv.remove(a)
+        elif a.startswith("--stages="):
+            kw["stages"] = a.split("=", 1)[1].split(",")
             argv.remove(a)
     main(*[int(x) for x in argv[:3]], **kw)
